@@ -1,0 +1,26 @@
+from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
+from neural_network_quantum_state_tpu.hamiltonians.ising import (
+    LITFIChain,
+    TFIChain,
+    TFICheckerBoard,
+    TFISQ,
+    TFITRI,
+)
+
+REGISTRY = {
+    "tfichain": TFIChain,
+    "litfichain": LITFIChain,
+    "tfisq": TFISQ,
+    "tfitri": TFITRI,
+    "tficheckerboard": TFICheckerBoard,
+}
+
+__all__ = [
+    "Hamiltonian",
+    "LITFIChain",
+    "REGISTRY",
+    "TFIChain",
+    "TFICheckerBoard",
+    "TFISQ",
+    "TFITRI",
+]

@@ -1,0 +1,255 @@
+"""Transverse-field Ising Hamiltonians: chain, long-range chain, square,
+triangular and checkerboard (J1-J2) lattices.
+
+Reference: cpu/include/hamiltonians.hpp:14-124 (+impl :7-707),
+gpu/include/hamiltonians.cuh:14-135 (+impl :7-596). All share the local
+energy
+
+    Etilde(s) = diag(s) + h * sum_i exp(lnpsi(flip_i s) - lnpsi(s))
+
+with diag(s) = 0.5 * sum_i s_i * sum_n J[i,n] * s_{nn[i,n]} over J-weighted
+neighbor tables (gpu TFI__GetDiagElem__, impl_hamiltonians.cuh:816-836). The
+N-forward off-diagonal term is one batched flip evaluation
+(ops.engine.all_flip_log_psi) instead of N kernel-launch rounds.
+
+LITFIChain is the paper's model (long-range antiferromagnetic Ising chain,
+J_ij = J/d(i,j)^alpha): dense J-matrix GEMM for the diagonal term and a
+1/L per-site energy scale (gpu impl_hamiltonians.cuh:115-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
+from neural_network_quantum_state_tpu.ops import engine
+from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+from neural_network_quantum_state_tpu.sampler import schedule as sched
+
+
+class _NeighborTFI(Hamiltonian):
+    """Shared neighbor-table TFI implementation."""
+
+    # subclasses define: _tables() -> (nnidx (N,nnn) int, jmat (N,nnn) float)
+
+    @cached_property
+    def _nn(self):
+        nnidx, jmat = self._tables()
+        return jnp.asarray(nnidx, jnp.int32), jnp.asarray(jmat, jnp.float64).astype(jnp.float32)
+
+    def diag_energy(self, spins: jnp.ndarray) -> jnp.ndarray:
+        """0.5 * sum_i s_i * sum_n J[i,n] * s_nn  -> (K,) real."""
+        nnidx, jmat = self._nn
+        s = spins
+        neigh = s[:, nnidx]  # (K, N, nnn)
+        bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :].astype(s.dtype))
+        return 0.5 * bond
+
+    def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
+        sites = jnp.arange(self.n_sites, dtype=jnp.int32)
+        lnpsi1 = engine.all_flip_log_psi(work, cache, sites)  # (K, N)
+        offdiag = jnp.sum(jnp.exp(lnpsi1 - lnpsi[:, None]), axis=-1)
+        diag = self.diag_energy(cache.spins).astype(lnpsi.dtype)
+        return diag + self.h * offdiag
+
+
+@dataclasses.dataclass(frozen=True)
+class TFIChain(_NeighborTFI):
+    """1D PBC chain: H = J sum s_i s_{i+1} - h-term (hamiltonians.hpp:14-38).
+
+    Note the reference's sign convention: the driver passes h directly into
+    the off-diagonal accumulation (htilda += h * exp(...)), so a standard
+    transverse-field Ising model uses h < 0 here.
+    """
+
+    h: float = -1.0
+    j: float = -1.0
+
+    def _tables(self):
+        n = self.n_sites
+        i = np.arange(n)
+        nnidx = np.stack([(i - 1) % n, (i + 1) % n], axis=1)
+        jmat = np.full((n, 2), self.j)
+        return nnidx, jmat
+
+    def schedule(self) -> np.ndarray:
+        return sched.chain_checkerboard(self.n_sites)
+
+
+@dataclasses.dataclass(frozen=True)
+class LITFIChain(Hamiltonian):
+    """Long-range Ising chain J_ij = J / d(i,j)^alpha; PBC circular distance
+    d = min(|i-j|, L-|i-j|) (PRL 113, 156402 convention) or OBC d = |i-j|.
+
+    Per-site energy: htilda scaled by 1/L (gpu impl_hamiltonians.cuh:240).
+    Neel initial state when J > 0 (:194-203). The paper's drivers set
+    J = sin(theta), h = -cos(theta) (LICH-train_rbmtrsymm.cu:92).
+    """
+
+    h: float = -1.0
+    j: float = 1.0
+    alpha: float = 2.0
+    pbc: bool = True
+
+    def __post_init__(self):
+        if self.pbc and self.n_sites % 2 == 1:
+            raise ValueError("PBC long-range chain requires even L (set pbc=False).")
+
+    @cached_property
+    def j_matrix(self) -> jnp.ndarray:
+        l = self.n_sites
+        i, j = np.meshgrid(np.arange(l), np.arange(l), indexing="ij")
+        d = np.abs(i - j).astype(np.float64)
+        if self.pbc:
+            d = np.minimum(d, l - d)
+        with np.errstate(divide="ignore"):
+            jm = self.j * d**-self.alpha
+        np.fill_diagonal(jm, 0.0)
+        return jnp.asarray(jm, jnp.float32)
+
+    def init_spins(self, key: jax.Array, n_walkers: int, dtype=jnp.float32) -> jnp.ndarray:
+        if self.j > 0:  # Neel start
+            pattern = jnp.where(jnp.arange(self.n_sites) % 2 == 0, 1.0, -1.0).astype(dtype)
+            return jnp.broadcast_to(pattern, (n_walkers, self.n_sites))
+        return jnp.ones((n_walkers, self.n_sites), dtype)
+
+    def schedule(self) -> np.ndarray:
+        return sched.chain_checkerboard(self.n_sites)
+
+    def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
+        s = cache.spins
+        sj = s @ self.j_matrix.astype(s.dtype)  # (K, L) dense long-range GEMM
+        diag = 0.5 * jnp.sum(sj * s, axis=-1)
+        sites = jnp.arange(self.n_sites, dtype=jnp.int32)
+        lnpsi1 = engine.all_flip_log_psi(work, cache, sites)
+        offdiag = jnp.sum(jnp.exp(lnpsi1 - lnpsi[:, None]), axis=-1)
+        return (diag.astype(lnpsi.dtype) + self.h * offdiag) / self.n_sites
+
+
+@dataclasses.dataclass(frozen=True)
+class TFISQ(_NeighborTFI):
+    """2D square LxL, PBC, 4 neighbors (impl_hamiltonians.hpp:116-248).
+    n_sites must be L*L."""
+
+    h: float = -1.0
+    j: float = -1.0
+
+    @property
+    def l(self) -> int:
+        l = int(round(self.n_sites**0.5))
+        if l * l != self.n_sites:
+            raise ValueError("TFISQ requires n_sites = L*L")
+        return l
+
+    def _tables(self):
+        l = self.l
+        i, j = np.meshgrid(np.arange(l), np.arange(l), indexing="ij")
+        site = lambda a, b: ((a % l) * l + (b % l)).ravel()
+        nnidx = np.stack([site(i, j - 1), site(i, j + 1), site(i - 1, j), site(i + 1, j)], axis=1)
+        jmat = np.full((l * l, 4), self.j)
+        return nnidx, jmat
+
+    def schedule(self) -> np.ndarray:
+        return sched.square_checkerboard(self.l)
+
+
+@dataclasses.dataclass(frozen=True)
+class TFITRI(_NeighborTFI):
+    """2D (sheared) triangular LxL, PBC, 6 neighbors
+    (impl_hamiltonians.hpp:251-466)."""
+
+    h: float = -1.0
+    j: float = 1.0
+
+    @property
+    def l(self) -> int:
+        l = int(round(self.n_sites**0.5))
+        if l * l != self.n_sites:
+            raise ValueError("TFITRI requires n_sites = L*L")
+        return l
+
+    def _tables(self):
+        l = self.l
+        i, j = np.meshgrid(np.arange(l), np.arange(l), indexing="ij")
+        site = lambda a, b: ((a % l) * l + (b % l)).ravel()
+        nnidx = np.stack(
+            [
+                site(i - 1, j - 1),
+                site(i - 1, j),
+                site(i, j - 1),
+                site(i, j + 1),
+                site(i + 1, j),
+                site(i + 1, j + 1),
+            ],
+            axis=1,
+        )
+        jmat = np.full((l * l, 6), self.j)
+        return nnidx, jmat
+
+    def schedule(self) -> np.ndarray:
+        return sched.triangular_threecolor(self.l)
+
+
+@dataclasses.dataclass(frozen=True)
+class TFICheckerBoard(_NeighborTFI):
+    """2D checkerboard (J1-J2) lattice, 8 neighbors with a per-bond J table,
+    optional PBC (impl_hamiltonians.hpp:469-707). J2 bonds alternate
+    diagonals by sublattice parity:
+        (i+j) even: up-right & down-left;  (i+j) odd: up-left & down-right.
+    """
+
+    h: float = -1.0
+    j1: float = -1.0
+    j2: float = 0.0
+    pbc: bool = True
+
+    @property
+    def l(self) -> int:
+        l = int(round(self.n_sites**0.5))
+        if l * l != self.n_sites:
+            raise ValueError("TFICheckerBoard requires n_sites = L*L")
+        return l
+
+    def _tables(self):
+        l, per = self.l, 1.0 if self.pbc else 0.0
+        i, j = np.meshgrid(np.arange(l), np.arange(l), indexing="ij")
+        site = lambda a, b: ((a % l) * l + (b % l)).ravel()
+        # order: up, down, left, right, up-right, down-left, up-left, down-right
+        nnidx = np.stack(
+            [
+                site(i - 1, j),
+                site(i + 1, j),
+                site(i, j - 1),
+                site(i, j + 1),
+                site(i - 1, j + 1),
+                site(i + 1, j - 1),
+                site(i - 1, j - 1),
+                site(i + 1, j + 1),
+            ],
+            axis=1,
+        )
+        ii, jj = i.ravel(), j.ravel()
+        jmat = np.zeros((l * l, 8))
+        jmat[:, 0] = np.where(ii == 0, self.j1 * per, self.j1)
+        jmat[:, 1] = np.where(ii == l - 1, self.j1 * per, self.j1)
+        jmat[:, 2] = np.where(jj == 0, self.j1 * per, self.j1)
+        jmat[:, 3] = np.where(jj == l - 1, self.j1 * per, self.j1)
+        even = (ii + jj) % 2 == 0
+        jmat[:, 4] = np.where(even, np.where((ii == 0) | (jj == l - 1), self.j2 * per, self.j2), 0.0)
+        jmat[:, 5] = np.where(even, np.where((ii == l - 1) | (jj == 0), self.j2 * per, self.j2), 0.0)
+        jmat[:, 6] = np.where(~even, np.where((ii == 0) | (jj == 0), self.j2 * per, self.j2), 0.0)
+        jmat[:, 7] = np.where(~even, np.where((ii == l - 1) | (jj == l - 1), self.j2 * per, self.j2), 0.0)
+        return nnidx, jmat
+
+    def init_spins(self, key: jax.Array, n_walkers: int, dtype=jnp.float32) -> jnp.ndarray:
+        from neural_network_quantum_state_tpu.ops.rng import random_spins
+
+        return random_spins(key, n_walkers, self.n_sites, dtype)
+
+    def schedule(self) -> np.ndarray:
+        return sched.square_checkerboard(self.l)

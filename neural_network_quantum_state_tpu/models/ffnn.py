@@ -1,0 +1,151 @@
+"""Complex one-hidden-layer FFNN ansatze: plain, translation- and spin-flip-symmetric.
+
+ln psi = sum_j w1o_j * logcosh(b1_j + sum_i wi1_ij s_i)
+
+Reference classes: spinhalf::{FFNN, FFNNTrSymm, FFNNSfSymm},
+cpu/include/neural_quantum_state.hpp:142-247 (+impl :698-1348).
+In the generic log-cosh Work the output weights become ``c`` and there is no
+visible bias term.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from neural_network_quantum_state_tpu.models.base import Machine, Params
+from neural_network_quantum_state_tpu.models.rbm import _circulant_expand, _circulant_grad
+from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+from neural_network_quantum_state_tpu.ops.logcosh import logcosh
+
+
+@dataclasses.dataclass(frozen=True)
+class FFNN(Machine):
+    """variables_ layout: [wi1 (N,M) row-major, b1 (M,), w1o (M,)]
+    (impl_neural_quantum_state.hpp:720-732). Init: real plane ~ N(0,1/fan),
+    imag plane ~ 0.1*N(0,1/fan) (:729-732)."""
+
+    n_hiddens: int = 0
+
+    @property
+    def n_vars(self) -> int:
+        return self.n_inputs * self.n_hiddens + 2 * self.n_hiddens
+
+    @property
+    def n_hidden(self) -> int:
+        return self.n_hiddens
+
+    def param_spec(self):
+        n, m = self.n_inputs, self.n_hiddens
+        return [("wi1", (n, m)), ("b1", (m,)), ("w1o", (m,))]
+
+    def init_params(self, key: jax.Array) -> Params:
+        n, m = self.n_inputs, self.n_hiddens
+        k1, k2, k3 = jax.random.split(key, 3)
+        sw, sb = (1.0 / (n + m)) ** 0.5, (1.0 / m) ** 0.5
+        return {
+            "wi1": self._normal(k1, (n, m), sw, imag_scale=0.1 * sw),
+            "b1": self._normal(k2, (m,), sb, imag_scale=0.1 * sb),
+            "w1o": self._normal(k3, (m,), sb, imag_scale=0.1 * sb),
+        }
+
+    def make_work(self, params: Params) -> Work:
+        return Work(w=params["wi1"], b=params["b1"], a=None, c=params["w1o"])
+
+    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+        k = cache.spins.shape[0]
+        s = cache.spins.astype(self.dtype)
+        t = jnp.tanh(cache.y) * params["w1o"]  # (K, M)
+        d_dwi1 = s[:, :, None] * t[:, None, :]
+        d_dw1o = logcosh(cache.y)
+        return jnp.concatenate([d_dwi1.reshape(k, -1), t, d_dw1o], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class FFNNTrSymm(Machine):
+    """Translation-symmetric FFNN: variables_ = [wi1 (alpha,N), b1 (alpha,),
+    w1o (alpha,)]; H = alpha*N, h = f*N+j; wf1 circulant, per-filter b1/w1o
+    broadcast (impl_neural_quantum_state.hpp:1020-1204)."""
+
+    alpha: int = 1
+
+    @property
+    def n_vars(self) -> int:
+        return self.alpha * self.n_inputs + 2 * self.alpha
+
+    @property
+    def n_hidden(self) -> int:
+        return self.alpha * self.n_inputs
+
+    def param_spec(self):
+        return [("wi1", (self.alpha, self.n_inputs)), ("b1", (self.alpha,)), ("w1o", (self.alpha,))]
+
+    def init_params(self, key: jax.Array) -> Params:
+        n, al = self.n_inputs, self.alpha
+        k1, k2, k3 = jax.random.split(key, 3)
+        sw, sb = (1.0 / ((1 + al) * n)) ** 0.5, (1.0 / (al * n)) ** 0.5
+        return {
+            "wi1": self._normal(k1, (al, n), sw, imag_scale=0.1 * sw),
+            "b1": self._normal(k2, (al,), sb, imag_scale=0.1 * sb),
+            "w1o": self._normal(k3, (al,), sb, imag_scale=0.1 * sb),
+        }
+
+    def make_work(self, params: Params) -> Work:
+        n = self.n_inputs
+        wf = _circulant_expand(params["wi1"], n)
+        bf = jnp.repeat(params["b1"], n)
+        cf = jnp.repeat(params["w1o"], n)
+        return Work(w=wf, b=bf, a=None, c=cf)
+
+    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+        k, n, al = cache.spins.shape[0], self.n_inputs, self.alpha
+        t = jnp.tanh(cache.y).reshape(k, al, n)
+        tw = t * params["w1o"][None, :, None]
+        d_dwi1 = _circulant_grad(tw, cache.spins)  # (K, alpha, N)
+        d_db1 = jnp.sum(tw, axis=-1)  # (K, alpha)
+        d_dw1o = jnp.sum(logcosh(cache.y).reshape(k, al, n), axis=-1)
+        return jnp.concatenate([d_dwi1.reshape(k, -1), d_db1, d_dw1o], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class FFNNSfSymm(Machine):
+    """Spin-flip symmetric FFNN: no bias; variables_ = [wi1 (N, alpha*N)
+    row-major, w1o (alpha*N,)] (impl_neural_quantum_state.hpp:1208-1348)."""
+
+    alpha: int = 1
+
+    @property
+    def n_vars(self) -> int:
+        n = self.n_inputs
+        return self.alpha * n * n + self.alpha * n
+
+    @property
+    def n_hidden(self) -> int:
+        return self.alpha * self.n_inputs
+
+    def param_spec(self):
+        n, h = self.n_inputs, self.alpha * self.n_inputs
+        return [("wi1", (n, h)), ("w1o", (h,))]
+
+    def init_params(self, key: jax.Array) -> Params:
+        n, al = self.n_inputs, self.alpha
+        k1, k2 = jax.random.split(key)
+        sw, so = (1.0 / ((1 + al) * n)) ** 0.5, (1.0 / (al * n)) ** 0.5
+        return {
+            "wi1": self._normal(k1, (n, al * n), sw, imag_scale=0.1 * sw),
+            "w1o": self._normal(k2, (al * n,), so, imag_scale=0.1 * so),
+        }
+
+    def make_work(self, params: Params) -> Work:
+        h = self.alpha * self.n_inputs
+        return Work(w=params["wi1"], b=jnp.zeros((h,), self.dtype), a=None, c=params["w1o"])
+
+    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+        k = cache.spins.shape[0]
+        s = cache.spins.astype(self.dtype)
+        t = jnp.tanh(cache.y) * params["w1o"]
+        d_dwi1 = s[:, :, None] * t[:, None, :]
+        d_dw1o = logcosh(cache.y)
+        return jnp.concatenate([d_dwi1.reshape(k, -1), d_dw1o], axis=-1)

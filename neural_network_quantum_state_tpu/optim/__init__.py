@@ -1,0 +1,26 @@
+from neural_network_quantum_state_tpu.optim import cg, solvers, sr
+from neural_network_quantum_state_tpu.optim.cg import CGResult, cg_solve
+from neural_network_quantum_state_tpu.optim.sr import (
+    SRStats,
+    energy_and_rsd,
+    force_vector,
+    lambda_schedule,
+    sgd_diag_solve,
+    sr_cg_solve,
+    sr_dense_solve,
+)
+
+__all__ = [
+    "CGResult",
+    "SRStats",
+    "cg",
+    "cg_solve",
+    "energy_and_rsd",
+    "force_vector",
+    "lambda_schedule",
+    "sgd_diag_solve",
+    "solvers",
+    "sr",
+    "sr_cg_solve",
+    "sr_dense_solve",
+]

@@ -1,0 +1,90 @@
+"""Vectorized single-spin-flip Metropolis engine.
+
+Replaces BaseParallelSampler (cpu/include/mcmc_sampler.hpp:22-48,
+impl_mcmc_sampler.hpp:5-90; gpu impl_mcmc_sampler.cuh:28-103): K walkers
+advance in lock-step through the site schedule. One sweep = len(schedule)
+proposal rounds, each:
+
+    lnpsi1 = flip ln psi          (O(K*H) incremental update)
+    ratio  = min(1, exp(2 Re(lnpsi1 - lnpsi0)))
+    accept = u < ratio            (branchless masked commit)
+
+The whole sweep is one ``lax.scan`` inside jit - a single XLA computation
+per n-sweep block instead of the reference's ~6 kernel launches per site
+(SURVEY.md 3.2). Acceptance counters mirror the CPU stack's
+``meas_acceptance_ratio`` (impl_mcmc_sampler.hpp:83-90).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_network_quantum_state_tpu.ops import engine
+from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+
+
+class MCState(NamedTuple):
+    """Sampler state threaded through jit steps."""
+
+    cache: Cache  # spins / y / sa, all (K, ...)
+    lnpsi: jnp.ndarray  # (K,) complex: ln psi of the current states
+    key: jax.Array  # threefry key (replaces TRNG4 jump streams)
+    n_accepted: jnp.ndarray  # () int64-ish counter (f32-safe: float)
+    n_proposed: jnp.ndarray  # () counter
+
+
+def init_state(work: Work, spins: jnp.ndarray, key: jax.Array) -> MCState:
+    cache, lnpsi = engine.full_forward(work, spins)
+    zero = jnp.zeros((), jnp.float32)
+    return MCState(cache=cache, lnpsi=lnpsi, key=key, n_accepted=zero, n_proposed=zero)
+
+
+def _sweep_scan(work: Work, cache: Cache, lnpsi0, schedule, uniforms):
+    """Scan len(schedule) proposal rounds; returns updated (cache, lnpsi, n_acc)."""
+
+    def body(carry, xs):
+        cache, lnpsi0, n_acc = carry
+        site, u = xs
+        lnpsi1 = engine.flip_log_psi(work, cache, site)
+        dln = jnp.real(lnpsi1) - jnp.real(lnpsi0)
+        # accept prob = min(1, exp(2*dln))   (impl_mcmc_sampler.hpp:48-52)
+        accept = u < jnp.exp(2.0 * jnp.minimum(dln, 0.0))
+        cache = engine.commit_flip(work, cache, site, accept)
+        lnpsi0 = jnp.where(accept, lnpsi1, lnpsi0)
+        return (cache, lnpsi0, n_acc + jnp.sum(accept, dtype=jnp.float32)), None
+
+    (cache, lnpsi0, n_acc), _ = jax.lax.scan(body, (cache, lnpsi0, jnp.zeros((), jnp.float32)), (schedule, uniforms))
+    return cache, lnpsi0, n_acc
+
+
+@partial(jax.jit, static_argnames=("n_sweeps",))
+def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> MCState:
+    """Run ``n_sweeps`` full sweeps over the site schedule.
+
+    Equivalent to do_mcmc_steps(n_sweeps) with knMCUnitSteps = len(schedule)
+    (the reference sets knMCUnitSteps = nSites, impl_hamiltonians.hpp:10).
+    """
+    key, sub = jax.random.split(state.key)
+    n_steps = n_sweeps * schedule.shape[0]
+    full_sched = jnp.tile(schedule, n_sweeps)
+    k = state.lnpsi.shape[0]
+    uniforms = jax.random.uniform(sub, (n_steps, k), state.cache.spins.dtype)
+    cache, lnpsi, n_acc = _sweep_scan(work, state.cache, state.lnpsi, full_sched, uniforms)
+    return MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=state.n_accepted + n_acc,
+        n_proposed=state.n_proposed + jnp.float32(n_steps * k),
+    )
+
+
+def acceptance_ratio(state: MCState) -> tuple[jnp.ndarray, MCState]:
+    """Read-and-reset acceptance ratio (impl_mcmc_sampler.hpp:83-90)."""
+    ratio = state.n_accepted / jnp.maximum(state.n_proposed, 1.0)
+    zero = jnp.zeros((), jnp.float32)
+    return ratio, state._replace(n_accepted=zero, n_proposed=zero)

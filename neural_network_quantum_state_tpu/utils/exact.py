@@ -1,0 +1,77 @@
+"""Dense exact diagonalization for small spin systems (test oracle).
+
+The reference has no tests; correctness there is physics-based convergence
+monitoring (SURVEY.md 4). Here small-system ED provides hard anchors:
+ground-state energies for the TFI family in the reference's conventions
+
+    H = sum_{i<j} J_ij sigma^z_i sigma^z_j + h sum_i sigma^x_i
+
+(s = +-1 eigenbasis of sigma^z; local energy htilda = diag + h * sum_i
+psi(flip_i s)/psi(s), optionally scaled 1/L for LITFIChain).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _spins_table(n: int) -> np.ndarray:
+    """(2^n, n) array of s_i = +-1; bit 0 of the index is site 0, with
+    s = +1 for bit value 0."""
+    idx = np.arange(2**n)[:, None]
+    bits = (idx >> np.arange(n)[None, :]) & 1
+    return 1.0 - 2.0 * bits
+
+
+def tfi_hamiltonian_dense(j_matrix: np.ndarray, h: float, scale: float = 1.0) -> np.ndarray:
+    """Dense H for H = 0.5*sum_{i,j} J_ij sz_i sz_j + h*sum_i sx_i, scaled.
+
+    j_matrix is the full symmetric coupling matrix with zero diagonal (the
+    0.5 matches diag = 0.5 * s.J.s used throughout the reference kernels).
+    """
+    n = j_matrix.shape[0]
+    dim = 2**n
+    s = _spins_table(n)
+    diag = 0.5 * np.einsum("ki,ij,kj->k", s, j_matrix, s)
+    ham = np.diag(diag).astype(np.float64)
+    # sigma^x_i flips bit i
+    for i in range(n):
+        flipped = np.arange(dim) ^ (1 << i)
+        ham[np.arange(dim), flipped] += h
+    return ham * scale
+
+
+def tfi_chain_dense(n: int, h: float, j: float) -> np.ndarray:
+    jm = np.zeros((n, n))
+    for i in range(n):
+        jm[i, (i + 1) % n] += j
+        jm[(i + 1) % n, i] += j
+    return tfi_hamiltonian_dense(jm, h)
+
+
+def litfi_chain_dense(n: int, h: float, j: float, alpha: float, pbc: bool = True) -> np.ndarray:
+    i, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = np.abs(i - k).astype(np.float64)
+    if pbc:
+        d = np.minimum(d, n - d)
+    with np.errstate(divide="ignore"):
+        jm = j * d**-alpha
+    np.fill_diagonal(jm, 0.0)
+    # per-site energy scale 1/L (gpu impl_hamiltonians.cuh:240)
+    return tfi_hamiltonian_dense(jm, h, scale=1.0 / n)
+
+
+def ground_energy(ham: np.ndarray) -> float:
+    return float(np.linalg.eigvalsh(ham)[0])
+
+
+def ground_state(ham: np.ndarray) -> tuple[float, np.ndarray]:
+    w, v = np.linalg.eigh(ham)
+    return float(w[0]), v[:, 0]
+
+
+def spins_to_index(spins: np.ndarray) -> np.ndarray:
+    """Map (-1/+1)^n spin rows to basis indices of _spins_table ordering."""
+    n = spins.shape[-1]
+    bits = ((1.0 - spins) / 2).astype(np.int64)
+    return (bits << np.arange(n)).sum(axis=-1)
