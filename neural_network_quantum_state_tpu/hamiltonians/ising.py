@@ -27,9 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
-from neural_network_quantum_state_tpu.ops import engine
+from neural_network_quantum_state_tpu.ops import cplx, engine
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
 from neural_network_quantum_state_tpu.sampler import schedule as sched
+
+
+def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
+    """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) - the N-forward term."""
+    sites = jnp.arange(n_sites, dtype=jnp.int32)
+    lnpsi1 = engine.all_flip_log_psi(work, cache, sites)  # C (K, N)
+    d = C(lnpsi1.re - lnpsi.re[:, None], lnpsi1.im - lnpsi.im[:, None])
+    return cplx.csum(cplx.cexp(d), axis=-1)
 
 
 class _NeighborTFI(Hamiltonian):
@@ -50,12 +59,10 @@ class _NeighborTFI(Hamiltonian):
         bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :].astype(s.dtype))
         return 0.5 * bond
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
-        sites = jnp.arange(self.n_sites, dtype=jnp.int32)
-        lnpsi1 = engine.all_flip_log_psi(work, cache, sites)  # (K, N)
-        offdiag = jnp.sum(jnp.exp(lnpsi1 - lnpsi[:, None]), axis=-1)
-        diag = self.diag_energy(cache.spins).astype(lnpsi.dtype)
-        return diag + self.h * offdiag
+    def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
+        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites)
+        diag = self.diag_energy(cache.spins)
+        return C(diag + self.h * offdiag.re, self.h * offdiag.im)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,14 +128,13 @@ class LITFIChain(Hamiltonian):
     def schedule(self) -> np.ndarray:
         return sched.chain_checkerboard(self.n_sites)
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
+    def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
         s = cache.spins
         sj = s @ self.j_matrix.astype(s.dtype)  # (K, L) dense long-range GEMM
         diag = 0.5 * jnp.sum(sj * s, axis=-1)
-        sites = jnp.arange(self.n_sites, dtype=jnp.int32)
-        lnpsi1 = engine.all_flip_log_psi(work, cache, sites)
-        offdiag = jnp.sum(jnp.exp(lnpsi1 - lnpsi[:, None]), axis=-1)
-        return (diag.astype(lnpsi.dtype) + self.h * offdiag) / self.n_sites
+        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites)
+        inv_l = 1.0 / self.n_sites
+        return C((diag + self.h * offdiag.re) * inv_l, self.h * offdiag.im * inv_l)
 
 
 @dataclasses.dataclass(frozen=True)

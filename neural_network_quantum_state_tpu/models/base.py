@@ -5,7 +5,8 @@ mutable state of the reference's machine classes (variables_, y_, sa_,
 spinStates_: cpu/include/neural_quantum_state.hpp:24-247) becomes explicit
 pytrees:
 
-- ``params``: dict of raw complex parameter tensors (the trainables),
+- ``params``: dict of raw parameter tensors as split-complex ``C`` pairs
+  (TPU has no complex dtypes - see ops.cplx),
 - ``Work``: effective dense weights built from params (symmetry expansion;
   reference ``construct_weight_and_bias_``),
 - ``Cache``: per-walker (spins, y, sa), threaded through the sampler.
@@ -24,9 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from neural_network_quantum_state_tpu.dtypes import real_dtype as _real_of
+from neural_network_quantum_state_tpu.ops import cplx
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work, full_forward
 
-Params = Dict[str, jnp.ndarray]
+Params = Dict[str, C]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,7 +38,7 @@ class Machine:
     """Base class: static shape info + pure functional methods."""
 
     n_inputs: int
-    dtype: Any = jnp.complex64  # complex parameter dtype
+    dtype: Any = jnp.float32  # real dtype of the split planes (f32/f64)
 
     # ---- mandatory interface -------------------------------------------
     @property
@@ -53,8 +57,8 @@ class Machine:
         """Expand raw params into effective dense (W, b, a, c)."""
         raise NotImplementedError
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
-        """Closed-form O_k = d ln psi / d theta, flattened: (K, n_vars).
+    def grad_log(self, params: Params, cache: Cache) -> C:
+        """Closed-form O_k = d ln psi / d theta, flattened: C of (K, n_vars).
 
         Mirrors the reference's ``backward`` (no autodiff there either);
         verified against jax.grad in tests.
@@ -66,11 +70,11 @@ class Machine:
         """(name, shape) list in reference ``variables_`` order."""
         raise NotImplementedError
 
-    def flatten_params(self, params: Params) -> jnp.ndarray:
+    def flatten_params(self, params: Params) -> C:
         parts = [params[name].reshape(-1) for name, _ in self.param_spec()]
-        return jnp.concatenate(parts)
+        return cplx.concat(parts, axis=0)
 
-    def unflatten_params(self, vec: jnp.ndarray) -> Params:
+    def unflatten_params(self, vec: C) -> Params:
         out, off = {}, 0
         for name, shape in self.param_spec():
             size = int(np.prod(shape))
@@ -78,20 +82,20 @@ class Machine:
             off += size
         return out
 
-    def update_params(self, params: Params, dx_flat: jnp.ndarray, lr: float) -> Params:
+    def update_params(self, params: Params, dx_flat: C, lr: float) -> Params:
         """theta <- theta - lr * dx (reference ``update_variables``)."""
         dx = self.unflatten_params(dx_flat)
-        return {k: params[k] - lr * dx[k].astype(params[k].dtype) for k in params}
+        return {k: params[k] - dx[k] * lr for k in params}
 
-    def init_cache(self, params: Params, spins: jnp.ndarray) -> tuple[Cache, jnp.ndarray]:
+    def init_cache(self, params: Params, spins: jnp.ndarray) -> tuple[Cache, C]:
         return full_forward(self.make_work(params), spins)
 
     @property
     def real_dtype(self):
-        return jnp.zeros((), self.dtype).real.dtype
+        return _real_of(self.dtype)
 
-    def _normal(self, key: jax.Array, shape, scale: float, imag_scale: float | None = None):
-        """Complex Gaussian init: re ~ s*N(0,1), im ~ s_im*N(0,1).
+    def _normal(self, key: jax.Array, shape, scale: float, imag_scale: float | None = None) -> C:
+        """Split-complex Gaussian init: re ~ s*N(0,1), im ~ s_im*N(0,1).
 
         The RBM family scales both planes by 0.1*sqrt(1/fan)
         (impl_neural_quantum_state.hpp:49-66); the FFNN family scales only
@@ -100,6 +104,10 @@ class Machine:
         kr, ki = jax.random.split(key)
         rdt = self.real_dtype
         im_s = scale if imag_scale is None else imag_scale
-        re = scale * jax.random.normal(kr, shape, rdt)
-        im = im_s * jax.random.normal(ki, shape, rdt)
-        return (re + 1j * im).astype(self.dtype)
+        return C(
+            scale * jax.random.normal(kr, shape, rdt),
+            im_s * jax.random.normal(ki, shape, rdt),
+        )
+
+    def _zeros(self, shape) -> C:
+        return cplx.zeros(shape, self.real_dtype)

@@ -5,7 +5,7 @@ ln psi = sum_j w1o_j * logcosh(b1_j + sum_i wi1_ij s_i)
 Reference classes: spinhalf::{FFNN, FFNNTrSymm, FFNNSfSymm},
 cpu/include/neural_quantum_state.hpp:142-247 (+impl :698-1348).
 In the generic log-cosh Work the output weights become ``c`` and there is no
-visible bias term.
+visible bias term. All complex quantities are split-complex ``C`` pairs.
 """
 
 from __future__ import annotations
@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from neural_network_quantum_state_tpu.models.base import Machine, Params
-from neural_network_quantum_state_tpu.models.rbm import _circulant_expand, _circulant_grad
+from neural_network_quantum_state_tpu.models.rbm import _circulant_expand, _circulant_grad, _outer_rs
+from neural_network_quantum_state_tpu.ops import cplx
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
-from neural_network_quantum_state_tpu.ops.logcosh import logcosh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,13 +55,12 @@ class FFNN(Machine):
     def make_work(self, params: Params) -> Work:
         return Work(w=params["wi1"], b=params["b1"], a=None, c=params["w1o"])
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k = cache.spins.shape[0]
-        s = cache.spins.astype(self.dtype)
-        t = jnp.tanh(cache.y) * params["w1o"]  # (K, M)
-        d_dwi1 = s[:, :, None] * t[:, None, :]
-        d_dw1o = logcosh(cache.y)
-        return jnp.concatenate([d_dwi1.reshape(k, -1), t, d_dw1o], axis=-1)
+        t = cplx.ctanh(cache.y) * params["w1o"]  # (K, M)
+        d_dwi1 = _outer_rs(cache.spins, t)
+        d_dw1o = cplx.clogcosh(cache.y)
+        return cplx.concat([d_dwi1.reshape(k, -1), t, d_dw1o], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,18 +95,19 @@ class FFNNTrSymm(Machine):
     def make_work(self, params: Params) -> Work:
         n = self.n_inputs
         wf = _circulant_expand(params["wi1"], n)
-        bf = jnp.repeat(params["b1"], n)
-        cf = jnp.repeat(params["w1o"], n)
+        bf = cplx.repeat(params["b1"], n)
+        cf = cplx.repeat(params["w1o"], n)
         return Work(w=wf, b=bf, a=None, c=cf)
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k, n, al = cache.spins.shape[0], self.n_inputs, self.alpha
-        t = jnp.tanh(cache.y).reshape(k, al, n)
-        tw = t * params["w1o"][None, :, None]
+        t = cplx.ctanh(cache.y).reshape(k, al, n)
+        w1o = params["w1o"]
+        tw = t * C(w1o.re[None, :, None], w1o.im[None, :, None])
         d_dwi1 = _circulant_grad(tw, cache.spins)  # (K, alpha, N)
-        d_db1 = jnp.sum(tw, axis=-1)  # (K, alpha)
-        d_dw1o = jnp.sum(logcosh(cache.y).reshape(k, al, n), axis=-1)
-        return jnp.concatenate([d_dwi1.reshape(k, -1), d_db1, d_dw1o], axis=-1)
+        d_db1 = cplx.csum(tw, axis=-1)  # (K, alpha)
+        d_dw1o = cplx.csum(cplx.clogcosh(cache.y).reshape(k, al, n), axis=-1)
+        return cplx.concat([d_dwi1.reshape(k, -1), d_db1, d_dw1o], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,12 +141,11 @@ class FFNNSfSymm(Machine):
 
     def make_work(self, params: Params) -> Work:
         h = self.alpha * self.n_inputs
-        return Work(w=params["wi1"], b=jnp.zeros((h,), self.dtype), a=None, c=params["w1o"])
+        return Work(w=params["wi1"], b=self._zeros((h,)), a=None, c=params["w1o"])
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k = cache.spins.shape[0]
-        s = cache.spins.astype(self.dtype)
-        t = jnp.tanh(cache.y) * params["w1o"]
-        d_dwi1 = s[:, :, None] * t[:, None, :]
-        d_dw1o = logcosh(cache.y)
-        return jnp.concatenate([d_dwi1.reshape(k, -1), d_dw1o], axis=-1)
+        t = cplx.ctanh(cache.y) * params["w1o"]
+        d_dwi1 = _outer_rs(cache.spins, t)
+        d_dw1o = cplx.clogcosh(cache.y)
+        return cplx.concat([d_dwi1.reshape(k, -1), d_dw1o], axis=-1)

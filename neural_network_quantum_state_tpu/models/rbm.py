@@ -7,7 +7,8 @@ spinhalf::RBMZ2PrSymm in gpu/include/neural_quantum_state.cuh:107-146
 
 All expand to the generic log-cosh Work; closed-form gradients mirror the
 reference's ``backward``/``*__GetGradientsOfParameters__`` and are verified
-against jax.grad in tests/test_models.py.
+against autodiff in tests/test_models.py. All complex quantities are
+split-complex ``C`` pairs (ops.cplx).
 """
 
 from __future__ import annotations
@@ -18,34 +19,46 @@ import jax
 import jax.numpy as jnp
 
 from neural_network_quantum_state_tpu.models.base import Machine, Params
+from neural_network_quantum_state_tpu.ops import cplx
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
-from neural_network_quantum_state_tpu.ops.logcosh import logcosh
 
 
-def _circulant_expand(w_raw: jnp.ndarray, n: int) -> jnp.ndarray:
+def _circulant_expand(w_raw: C, n: int) -> C:
     """Expand per-filter rings w_raw (alpha, N) into W (N, alpha*N).
 
     wf[i, f*N+j] = w_raw[f, (i+j) % N]  (RBMTrSymm construct_weight_and_bias_,
     impl_neural_quantum_state.hpp:413-429; same for FFNNTrSymm :1060-1076).
     """
     idx = (jnp.arange(n)[:, None] + jnp.arange(n)[None, :]) % n  # (i, j)
-    # (alpha, i, j) -> (i, alpha, j) -> (i, alpha*j)
-    wf = w_raw[:, idx]  # (alpha, N, N)
-    return jnp.transpose(wf, (1, 0, 2)).reshape(n, -1)
+
+    def one(plane):
+        wf = plane[:, idx]  # (alpha, N, N)
+        return jnp.transpose(wf, (1, 0, 2)).reshape(n, -1)
+
+    return C(one(w_raw.re), one(w_raw.im))
 
 
-def _circulant_grad(t: jnp.ndarray, spins: jnp.ndarray) -> jnp.ndarray:
-    """d/dw_raw[f,m] = sum_j t[k,f,j] * s[k, (N+m-j) % N] -> (K, alpha, N).
+def _circulant_grad(t: C, spins: jnp.ndarray) -> C:
+    """d/dw_raw[f,m] = sum_j t[k,f,j] * s[k, (N+m-j) % N] -> C (K, alpha, N).
 
     t is any per-hidden factor reshaped (K, alpha, N); this is the
-    symmetrized backward of RBMTrSymm (impl:489-512) / FFNNTrSymm (:1150+),
-    a batched circular cross-correlation expressed as a gather + matmul so
-    it lands on the MXU.
+    symmetrized backward of RBMTrSymm (impl:489-512) / FFNNTrSymm, a batched
+    circular cross-correlation expressed as a gather + matmul so it lands on
+    the MXU. The spin factor is real, so it applies to each plane.
     """
     n = spins.shape[-1]
     gidx = (jnp.arange(n)[:, None] - jnp.arange(n)[None, :]) % n  # [m, j]
-    sg = spins[:, gidx].astype(t.dtype)  # (K, N_m, N_j)
-    return jnp.einsum("kfj,kmj->kfm", t, sg)
+    sg = spins[:, gidx]  # (K, N_m, N_j) real
+    return C(
+        jnp.einsum("kfj,kmj->kfm", t.re, sg),
+        jnp.einsum("kfj,kmj->kfm", t.im, sg),
+    )
+
+
+def _outer_rs(s: jnp.ndarray, t: C) -> C:
+    """d_dw[k,i,j] = s[k,i] * t[k,j] (real spins x split factor)."""
+    return C(s[:, :, None] * t.re[:, None, :], s[:, :, None] * t.im[:, None, :])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,19 +90,20 @@ class RBM(Machine):
         # w ~ 0.1*N(0, 1/(N+M)); a = 0; b ~ 0.1*N(0, 1/M)   (impl:49-66)
         return {
             "w": self._normal(kw, (n, m), 0.1 * (1.0 / (n + m)) ** 0.5),
-            "a": jnp.zeros((n,), self.dtype),
+            "a": self._zeros((n,)),
             "b": self._normal(kb, (m,), 0.1 * (1.0 / m) ** 0.5),
         }
 
     def make_work(self, params: Params) -> Work:
         return Work(w=params["w"], b=params["b"], a=params["a"], c=None)
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k = cache.spins.shape[0]
-        s = cache.spins.astype(self.dtype)  # (K, N)
-        t = jnp.tanh(cache.y)  # (K, M)
-        d_dw = s[:, :, None] * t[:, None, :]  # (K, N, M)
-        return jnp.concatenate([d_dw.reshape(k, -1), s, t], axis=-1)
+        s = cache.spins  # (K, N) real
+        t = cplx.ctanh(cache.y)  # (K, M)
+        d_dw = _outer_rs(s, t)  # (K, N, M)
+        d_da = C(s, jnp.zeros_like(s))
+        return cplx.concat([d_dw.reshape(k, -1), d_da, t], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,24 +132,25 @@ class RBMTrSymm(Machine):
         kw, kb = jax.random.split(key)
         return {
             "w": self._normal(kw, (al, n), 0.1 * (1.0 / ((1 + al) * n)) ** 0.5),
-            "a": jnp.zeros((1,), self.dtype),
+            "a": self._zeros((1,)),
             "b": self._normal(kb, (al,), 0.1 * (1.0 / (al * n)) ** 0.5),
         }
 
     def make_work(self, params: Params) -> Work:
-        n, al = self.n_inputs, self.alpha
+        n = self.n_inputs
         wf = _circulant_expand(params["w"], n)
-        bf = jnp.repeat(params["b"], n)  # bf[f*N+j] = b[f]
-        af = jnp.broadcast_to(params["a"], (n,))
+        bf = cplx.repeat(params["b"], n)  # bf[f*N+j] = b[f]
+        af = cplx.broadcast_to(params["a"], (n,))
         return Work(w=wf, b=bf, a=af, c=None)
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k, n, al = cache.spins.shape[0], self.n_inputs, self.alpha
-        t = jnp.tanh(cache.y).reshape(k, al, n)
+        t = cplx.ctanh(cache.y).reshape(k, al, n)
         d_dw = _circulant_grad(t, cache.spins)  # (K, alpha, N)
-        d_da = jnp.sum(cache.spins, axis=-1, keepdims=True).astype(self.dtype)
-        d_db = jnp.sum(t, axis=-1)  # (K, alpha)
-        return jnp.concatenate([d_dw.reshape(k, -1), d_da, d_db], axis=-1)
+        ssum = jnp.sum(cache.spins, axis=-1, keepdims=True)
+        d_da = C(ssum, jnp.zeros_like(ssum))
+        d_db = cplx.csum(t, axis=-1)  # (K, alpha)
+        return cplx.concat([d_dw.reshape(k, -1), d_da, d_db], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,13 +180,12 @@ class RBMSfSymm(Machine):
 
     def make_work(self, params: Params) -> Work:
         h = self.alpha * self.n_inputs
-        return Work(w=params["w"], b=jnp.zeros((h,), self.dtype), a=None, c=None)
+        return Work(w=params["w"], b=self._zeros((h,)), a=None, c=None)
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k = cache.spins.shape[0]
-        s = cache.spins.astype(self.dtype)
-        t = jnp.tanh(cache.y)  # (K, alpha*N)
-        return (s[:, :, None] * t[:, None, :]).reshape(k, -1)
+        t = cplx.ctanh(cache.y)  # (K, alpha*N)
+        return _outer_rs(cache.spins, t).reshape(k, -1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,16 +222,19 @@ class RBMZ2PrSymm(Machine):
     def make_work(self, params: Params) -> Work:
         n, al = self.n_inputs, self.alpha
         w = params["w"]  # (N, alpha)
-        wf = jnp.stack([w, -w, w[::-1, :], -w[::-1, :]], axis=-1)  # (N, alpha, 4)
-        bf = jnp.broadcast_to(params["b"][:, None], (al, 4))
+        wf = cplx.stack([w, -w, w[::-1], -w[::-1]], axis=-1)  # (N, alpha, 4)
+        bf = cplx.broadcast_to(C(params["b"].re[:, None], params["b"].im[:, None]), (al, 4))
         return Work(w=wf.reshape(n, 4 * al), b=bf.reshape(4 * al), a=None, c=None)
 
-    def grad_log(self, params: Params, cache: Cache) -> jnp.ndarray:
+    def grad_log(self, params: Params, cache: Cache) -> C:
         k, al = cache.spins.shape[0], self.alpha
-        s = cache.spins.astype(self.dtype)  # (K, N)
-        t = jnp.tanh(cache.y).reshape(k, al, 4)
-        d_dw = (t[:, :, 0] - t[:, :, 1])[:, None, :] * s[:, :, None] + (
-            t[:, :, 2] - t[:, :, 3]
-        )[:, None, :] * s[:, ::-1, None]  # (K, N, alpha)
-        d_db = jnp.sum(t, axis=-1)  # (K, alpha)
-        return jnp.concatenate([d_dw.reshape(k, -1), d_db], axis=-1)
+        s = cache.spins  # (K, N) real
+        t = cplx.ctanh(cache.y).reshape(k, al, 4)
+        d01 = t[:, :, 0] - t[:, :, 1]  # (K, alpha)
+        d23 = t[:, :, 2] - t[:, :, 3]
+        d_dw = C(
+            d01.re[:, None, :] * s[:, :, None] + d23.re[:, None, :] * s[:, ::-1, None],
+            d01.im[:, None, :] * s[:, :, None] + d23.im[:, None, :] * s[:, ::-1, None],
+        )  # (K, N, alpha)
+        d_db = cplx.csum(t, axis=-1)  # (K, alpha)
+        return cplx.concat([d_dw.reshape(k, -1), d_db], axis=-1)

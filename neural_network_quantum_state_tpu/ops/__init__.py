@@ -1,4 +1,5 @@
-from neural_network_quantum_state_tpu.ops import engine, logcosh, rng
+from neural_network_quantum_state_tpu.ops import cplx, engine, logcosh, rng
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import (
     Cache,
     Work,
@@ -15,7 +16,9 @@ from neural_network_quantum_state_tpu.ops.logcosh import logcosh as logcosh_fn
 from neural_network_quantum_state_tpu.ops.logcosh import logcosh_ri, tanh_ri
 
 __all__ = [
+    "C",
     "Cache",
+    "cplx",
     "Work",
     "all_flip_log_psi",
     "commit_flip",

@@ -1,4 +1,4 @@
-"""Generic batched log-cosh machine engine.
+"""Generic batched log-cosh machine engine (split-complex, TPU-native).
 
 Every ansatz in the reference (RBM, RBMTrSymm, RBMSfSymm, RBMZ2PrSymm, FFNN,
 FFNNTrSymm, FFNNSfSymm - cpu/include/neural_quantum_state.hpp:24-247) has the
@@ -10,17 +10,16 @@ over effective (possibly symmetry-constructed) weights W (N,H), hidden bias
 b (H,), visible bias a (N,) and output weights c (H,). RBM-family machines
 have c = 1; FFNN-family machines have a = 0 and trainable c = w1o.
 
-This module implements that form *batched over walkers* (leading axis K) with
-the O(H)-per-proposal incremental update of the hidden pre-activations
+This module implements that form *batched over walkers* (leading axis K) on
+split real/imag planes (ops.cplx.C - TPU has no complex registers) with the
+O(H)-per-proposal incremental update of the hidden pre-activations
 
     y'_kj = y_kj - 2 s_ki W_ij          (candidate: flip spin i)
 
 mirroring cpu/include/impl_neural_quantum_state.hpp:137-146 / 329-357. The
 walker axis is the only axis that shards across a TPU mesh; N and H stay
-on-chip.
-
-State carried through the Metropolis scan (a `Cache`): spins (K,N) real in
-{-1,+1}, y (K,H) complex, sa (K,) complex (the visible-bias dot product).
+on-chip. Spins are real {-1,+1}, so every forward GEMM is a cheap
+real @ split-complex contraction (2 real MXU matmuls).
 """
 
 from __future__ import annotations
@@ -29,98 +28,107 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from neural_network_quantum_state_tpu.ops.logcosh import logcosh
+from neural_network_quantum_state_tpu.ops import cplx
+from neural_network_quantum_state_tpu.ops.cplx import C
 
 
 class Work(NamedTuple):
     """Effective dense weights of a log-cosh machine (symmetry-expanded)."""
 
-    w: jnp.ndarray  # (N, H) complex
-    b: jnp.ndarray  # (H,)  complex
-    a: Optional[jnp.ndarray] = None  # (N,) complex, or None (no visible bias)
-    c: Optional[jnp.ndarray] = None  # (H,) complex, or None (c_j = 1)
+    w: C  # (N, H)
+    b: C  # (H,)
+    a: Optional[C] = None  # (N,) or None (no visible bias)
+    c: Optional[C] = None  # (H,) or None (c_j = 1)
 
 
 class Cache(NamedTuple):
     """Per-walker machine state threaded through the sampler."""
 
     spins: jnp.ndarray  # (K, N) real, entries in {-1, +1}
-    y: jnp.ndarray  # (K, H) complex pre-activations
-    sa: jnp.ndarray  # (K,) complex visible-bias term
+    y: C  # (K, H) pre-activations
+    sa: C  # (K,) visible-bias term
 
 
-def _hidden_sum(work: Work, ly: jnp.ndarray) -> jnp.ndarray:
+def _hidden_sum(work: Work, ly: C) -> C:
     """sum_j c_j * ly_kj over the hidden axis."""
     if work.c is None:
-        return jnp.sum(ly, axis=-1)
-    return ly @ work.c
+        return cplx.csum(ly, axis=-1)
+    return cplx.cdot(ly, work.c)
 
 
-def full_forward(work: Work, spins: jnp.ndarray) -> tuple[Cache, jnp.ndarray]:
+def full_forward(work: Work, spins: jnp.ndarray) -> tuple[Cache, C]:
     """From-scratch forward: build the cache and ln psi for all walkers.
 
     Mirrors RBM::initialize (impl_neural_quantum_state.hpp:107-132): one
-    (K,N)x(N,H) GEMM plus the fused log-cosh reduction.
+    real (K,N)x(N,H) GEMM pair plus the fused log-cosh reduction.
     """
-    cdtype = work.w.dtype
-    s = spins.astype(work.w.real.dtype)
-    y = s.astype(cdtype) @ work.w + work.b
+    s = spins.astype(work.w.dtype)
+    y = cplx.matmul_rc(s, work.w) + work.b
     if work.a is not None:
-        sa = s.astype(cdtype) @ work.a
+        sa = C(s @ work.a.re, s @ work.a.im)
     else:
-        sa = jnp.zeros(s.shape[0], cdtype)
-    lnpsi = _hidden_sum(work, logcosh(y)) + sa
+        sa = cplx.zeros(s.shape[0], s.dtype)
+    lnpsi = _hidden_sum(work, cplx.clogcosh(y)) + sa
     return Cache(spins=s, y=y, sa=sa), lnpsi
 
 
-def log_psi(work: Work, spins: jnp.ndarray) -> jnp.ndarray:
+def log_psi(work: Work, spins: jnp.ndarray) -> C:
     """Pure fixed-spin ln psi (the GPU 'forward(spinStates, lnpsi)' overload,
-
     gpu/include/neural_quantum_state.cuh:27 - used by measurements and the
     pynqs-style Python API)."""
     _, lnpsi = full_forward(work, spins)
     return lnpsi
 
 
-def flip_log_psi(work: Work, cache: Cache, site) -> jnp.ndarray:
+def flip_log_psi(work: Work, cache: Cache, site) -> C:
     """ln psi of the candidate state with `site` flipped in every walker.
 
     O(K*H) incremental update (impl_neural_quantum_state.hpp:134-146): no
     state mutation. `site` is a (traced) scalar index shared by all walkers.
     """
-    two_s = (2.0 * cache.spins[:, site]).astype(work.w.dtype)  # (K,)
-    y1 = cache.y - two_s[:, None] * work.w[site, :]
-    lnpsi = _hidden_sum(work, logcosh(y1))
+    two_s = 2.0 * cache.spins[:, site]  # (K,) real
+    wrow = work.w[site, :]  # C (H,)
+    y1 = C(
+        cache.y.re - two_s[:, None] * wrow.re,
+        cache.y.im - two_s[:, None] * wrow.im,
+    )
+    lnpsi = _hidden_sum(work, cplx.clogcosh(y1))
     if work.a is not None:
-        return lnpsi + cache.sa - two_s * work.a[site]
-    return lnpsi
+        arow = work.a[site]
+        return lnpsi + cache.sa + C(-two_s * arow.re, -two_s * arow.im)
+    return lnpsi + cache.sa
 
 
-def flip_log_psi_per_walker(work: Work, cache: Cache, sites: jnp.ndarray) -> jnp.ndarray:
+def flip_log_psi_per_walker(work: Work, cache: Cache, sites: jnp.ndarray) -> C:
     """ln psi with a *per-walker* flip site (K,) (reference multi-chain
     flip-list overload, impl_neural_quantum_state.hpp:168-186)."""
     k = jnp.arange(cache.spins.shape[0])
-    two_s = (2.0 * cache.spins[k, sites]).astype(work.w.dtype)  # (K,)
-    y1 = cache.y - two_s[:, None] * work.w[sites, :]
-    lnpsi = _hidden_sum(work, logcosh(y1))
+    two_s = 2.0 * cache.spins[k, sites]  # (K,)
+    wrows = work.w[sites, :]  # C (K, H)
+    y1 = C(cache.y.re - two_s[:, None] * wrows.re, cache.y.im - two_s[:, None] * wrows.im)
+    lnpsi = _hidden_sum(work, cplx.clogcosh(y1))
     if work.a is not None:
-        return lnpsi + cache.sa - two_s * work.a[sites]
-    return lnpsi
+        arows = work.a[sites]
+        return lnpsi + cache.sa + C(-two_s * arows.re, -two_s * arows.im)
+    return lnpsi + cache.sa
 
 
-def flip2_log_psi_per_walker(
-    work: Work, cache: Cache, sites1: jnp.ndarray, sites2: jnp.ndarray
-) -> jnp.ndarray:
+def flip2_log_psi_per_walker(work: Work, cache: Cache, sites1: jnp.ndarray, sites2: jnp.ndarray) -> C:
     """ln psi with two per-walker flips (K,) each (pair-exchange proposals of
     the Kawasaki/Hubbard path and sigma^x sigma^x estimators)."""
     k = jnp.arange(cache.spins.shape[0])
-    two_s1 = (2.0 * cache.spins[k, sites1]).astype(work.w.dtype)
-    two_s2 = (2.0 * cache.spins[k, sites2]).astype(work.w.dtype)
-    y1 = cache.y - two_s1[:, None] * work.w[sites1, :] - two_s2[:, None] * work.w[sites2, :]
-    lnpsi = _hidden_sum(work, logcosh(y1))
+    t1 = 2.0 * cache.spins[k, sites1]
+    t2 = 2.0 * cache.spins[k, sites2]
+    w1, w2 = work.w[sites1, :], work.w[sites2, :]
+    y1 = C(
+        cache.y.re - t1[:, None] * w1.re - t2[:, None] * w2.re,
+        cache.y.im - t1[:, None] * w1.im - t2[:, None] * w2.im,
+    )
+    lnpsi = _hidden_sum(work, cplx.clogcosh(y1))
     if work.a is not None:
-        return lnpsi + cache.sa - two_s1 * work.a[sites1] - two_s2 * work.a[sites2]
-    return lnpsi
+        a1, a2 = work.a[sites1], work.a[sites2]
+        return lnpsi + cache.sa + C(-t1 * a1.re - t2 * a2.re, -t1 * a1.im - t2 * a2.im)
+    return lnpsi + cache.sa
 
 
 def commit_flip(work: Work, cache: Cache, site, accept: jnp.ndarray) -> Cache:
@@ -133,39 +141,40 @@ def commit_flip(work: Work, cache: Cache, site, accept: jnp.ndarray) -> Cache:
     rdtype = cache.spins.dtype
     acc = accept.astype(rdtype)  # (K,)
     two_s = (2.0 * cache.spins[:, site]) * acc  # 0 where rejected
-    two_sc = two_s.astype(work.w.dtype)
-    y = cache.y - two_sc[:, None] * work.w[site, :]
+    wrow = work.w[site, :]
+    y = C(cache.y.re - two_s[:, None] * wrow.re, cache.y.im - two_s[:, None] * wrow.im)
     sa = cache.sa
     if work.a is not None:
-        sa = sa - two_sc * work.a[site]
+        arow = work.a[site]
+        sa = C(sa.re - two_s * arow.re, sa.im - two_s * arow.im)
     spins = cache.spins.at[:, site].multiply(1.0 - 2.0 * acc)
     return Cache(spins=spins, y=y, sa=sa)
 
 
 def commit_flip2_per_walker(
-    work: Work,
-    cache: Cache,
-    sites1: jnp.ndarray,
-    sites2: jnp.ndarray,
-    accept: jnp.ndarray,
+    work: Work, cache: Cache, sites1: jnp.ndarray, sites2: jnp.ndarray, accept: jnp.ndarray
 ) -> Cache:
     """Commit per-walker pair flips where accepted (Kawasaki exchange)."""
     rdtype = cache.spins.dtype
     k = jnp.arange(cache.spins.shape[0])
     acc = accept.astype(rdtype)
-    two_s1 = (2.0 * cache.spins[k, sites1]) * acc
-    two_s2 = (2.0 * cache.spins[k, sites2]) * acc
-    c1, c2 = two_s1.astype(work.w.dtype), two_s2.astype(work.w.dtype)
-    y = cache.y - c1[:, None] * work.w[sites1, :] - c2[:, None] * work.w[sites2, :]
+    t1 = (2.0 * cache.spins[k, sites1]) * acc
+    t2 = (2.0 * cache.spins[k, sites2]) * acc
+    w1, w2 = work.w[sites1, :], work.w[sites2, :]
+    y = C(
+        cache.y.re - t1[:, None] * w1.re - t2[:, None] * w2.re,
+        cache.y.im - t1[:, None] * w1.im - t2[:, None] * w2.im,
+    )
     sa = cache.sa
     if work.a is not None:
-        sa = sa - c1 * work.a[sites1] - c2 * work.a[sites2]
+        a1, a2 = work.a[sites1], work.a[sites2]
+        sa = C(sa.re - t1 * a1.re - t2 * a2.re, sa.im - t1 * a1.im - t2 * a2.im)
     spins = cache.spins.at[k, sites1].multiply(1.0 - 2.0 * acc)
     spins = spins.at[k, sites2].multiply(1.0 - 2.0 * acc)
     return Cache(spins=spins, y=y, sa=sa)
 
 
-def all_flip_log_psi(work: Work, cache: Cache, sites: jnp.ndarray) -> jnp.ndarray:
+def all_flip_log_psi(work: Work, cache: Cache, sites: jnp.ndarray) -> C:
     """ln psi of *every* single-site flip in `sites` for every walker: (K, n).
 
     The local-energy hot loop (N machine forwards per estimate,
@@ -173,15 +182,20 @@ def all_flip_log_psi(work: Work, cache: Cache, sites: jnp.ndarray) -> jnp.ndarra
     y1[k,i,j] = y[k,j] - 2 s[k,i] W[i,j], then fused logcosh + reduction.
     Memory O(K * n * H); callers chunk over `sites` if needed.
     """
-    two_s = (2.0 * cache.spins[:, sites]).astype(work.w.dtype)  # (K, n)
-    y1 = cache.y[:, None, :] - two_s[:, :, None] * work.w[sites, :][None, :, :]
-    ly = logcosh(y1)  # (K, n, H)
+    two_s = 2.0 * cache.spins[:, sites]  # (K, n) real
+    wr = work.w.re[sites, :][None, :, :]
+    wi = work.w.im[sites, :][None, :, :]
+    y1 = C(
+        cache.y.re[:, None, :] - two_s[:, :, None] * wr,
+        cache.y.im[:, None, :] - two_s[:, :, None] * wi,
+    )
+    ly = cplx.clogcosh(y1)  # (K, n, H)
     if work.c is None:
-        lnpsi = jnp.sum(ly, axis=-1)
+        lnpsi = cplx.csum(ly, axis=-1)
     else:
-        lnpsi = ly @ work.c
+        lnpsi = cplx.cdot(ly, work.c)
+    lnpsi = lnpsi + C(cache.sa.re[:, None], cache.sa.im[:, None])
     if work.a is not None:
-        lnpsi = lnpsi + cache.sa[:, None] - two_s * work.a[sites][None, :]
-    else:
-        lnpsi = lnpsi + cache.sa[:, None]
+        asel = work.a[sites]
+        lnpsi = lnpsi + C(-two_s * asel.re[None, :], -two_s * asel.im[None, :])
     return lnpsi

@@ -16,19 +16,20 @@ matvec and preconditions with 1/((1+lambda) diag(S)) (functor_for_CG.hpp:
 82-97); dense path scales diagonals S_ii *= (1+lambda)
 (optimizer.hpp:58-66).
 
-All contractions are walker-axis reductions: under a sharded mesh they
-lower to psum-style collectives of O(V) - the only cross-device traffic
-VMC needs.
+Everything is split-complex (ops.cplx): the S.v matvec is 6 real MXU
+matmuls over the walker axis; under a sharded mesh those contractions lower
+to psum-style collectives of O(V) - the only cross-device traffic VMC
+needs.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
-import jax
 import jax.numpy as jnp
 
+from neural_network_quantum_state_tpu.ops import cplx
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.optim.cg import CGResult, cg_solve
 
 LAMBDA0, LAMBDA_DECAY, LAMBDA_MIN = 100.0, 0.9, 1e-2
@@ -42,79 +43,105 @@ def lambda_schedule(step: jnp.ndarray | int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 class SRStats(NamedTuple):
-    energy: jnp.ndarray  # () complex: <Etilde>
+    energy: C  # () scalar: <Etilde>
     rsd: jnp.ndarray  # () real: sqrt(var/|mean|^2)  (gpu optimizer.cuh:156-158)
     cg_iters: jnp.ndarray  # () int32 (0 for dense solves)
     lam: jnp.ndarray  # () real
 
 
-def energy_and_rsd(htilda: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    havg = jnp.mean(htilda)
-    var = jnp.mean(jnp.abs(htilda) ** 2) - jnp.abs(havg) ** 2
-    rsd = jnp.sqrt(jnp.maximum(var, 0.0) / jnp.abs(havg) ** 2)
+def energy_and_rsd(htilda: C) -> tuple[C, jnp.ndarray]:
+    havg = cplx.cmean(htilda)
+    h2 = cplx.abs2(havg)
+    var = jnp.mean(cplx.abs2(htilda)) - h2
+    rsd = jnp.sqrt(jnp.maximum(var, 0.0) / h2)
     return havg, rsd
 
 
-def force_vector(o_mat: jnp.ndarray, htilda: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """F_i = <Etilde O_i*> - <Etilde><O_i>*; returns (F, aO)."""
-    k = o_mat.shape[0]
-    havg = jnp.mean(htilda)
-    a_o = jnp.mean(o_mat, axis=0)
-    f = (htilda @ jnp.conj(o_mat)) / k - havg * jnp.conj(a_o)
+def force_vector(o_mat: C, htilda: C) -> tuple[C, C]:
+    """F_i = <Etilde O_i*> - <Etilde><O_i>*; returns (F, aO).
+
+    Etilde * conj(O): re = Er*Or + Ei*Oi, im = Ei*Or - Er*Oi - two real
+    GEMV pairs over the walker axis."""
+    k = o_mat.re.shape[0]
+    havg = cplx.cmean(htilda)
+    a_o = cplx.cmean(o_mat, axis=0)
+    t_re = (htilda.re @ o_mat.re + htilda.im @ o_mat.im) / k
+    t_im = (htilda.im @ o_mat.re - htilda.re @ o_mat.im) / k
+    f = C(t_re, t_im) - havg * cplx.conj(a_o)
     return f, a_o
 
 
+def sr_diag(o_mat: C, a_o: C) -> jnp.ndarray:
+    """diag(S)_i = <|O_i|^2> - |aO_i|^2 (real)."""
+    return jnp.mean(cplx.abs2(o_mat), axis=0) - cplx.abs2(a_o)
+
+
 def sr_cg_solve(
-    o_mat: jnp.ndarray,
-    htilda: jnp.ndarray,
+    o_mat: C,
+    htilda: C,
     lam: jnp.ndarray,
     tol: float = 1e-5,
     max_iters: int = 1000,
-) -> tuple[jnp.ndarray, CGResult]:
+) -> tuple[C, CGResult]:
     """Matrix-free SR solve: never materializes S (O(KV), not O(V^2)).
 
-    The S.a operator is two walker-axis GEMVs plus a rank-1 correction and
-    the scaled-diagonal regularization (SMatrixForCG::dot,
+    The S.a operator is two walker-axis GEMV pairs plus a rank-1 correction
+    and the scaled-diagonal regularization (SMatrixForCG::dot,
     functor_for_CG.hpp:66-97).
     """
-    k = o_mat.shape[0]
+    k = o_mat.re.shape[0]
     f, a_o = force_vector(o_mat, htilda)
-    diag = (jnp.mean(jnp.abs(o_mat) ** 2, axis=0) - jnp.abs(a_o) ** 2).astype(o_mat.real.dtype)
+    diag = sr_diag(o_mat, a_o)
     lam = lam.astype(diag.dtype)
+    a_o_c = cplx.conj(a_o)
 
-    def matvec(a):
-        z = o_mat @ a  # (K,)
-        b = (z @ jnp.conj(o_mat)) / k - jnp.conj(a_o) * (a_o @ a)
-        return b + (lam * diag) * a
+    def matvec(a: C) -> C:
+        z = cplx.matmul_cc(o_mat, a)  # (K,)
+        b = cplx.matmul_conj_t_c(o_mat, z) * (1.0 / k)  # O^H z / K
+        b = b - a_o_c * cplx.cdot(a_o, a)
+        return b + cplx.rscale(lam * diag, a)
 
-    def precond(r):
-        return r / ((1.0 + lam) * diag)
+    tiny = jnp.finfo(diag.dtype).tiny
+
+    def precond(r: C) -> C:
+        return cplx.rscale(1.0 / ((1.0 + lam) * jnp.maximum(diag, tiny)), r)
 
     res = cg_solve(matvec, f, precond=precond, tol=tol, max_iters=max_iters)
     return res.x, res
 
 
+def build_s_matrix(o_mat: C, a_o: C) -> C:
+    """Dense S = (1/K) O^H O - aO^* aO^T  (V,V) split-complex."""
+    k = o_mat.re.shape[0]
+    s = cplx.matmul_conj_t_c(o_mat, o_mat) * (1.0 / k)
+    # rank-1: conj(aO)_i * aO_j
+    r1_re = a_o.re[:, None] * a_o.re[None, :] + a_o.im[:, None] * a_o.im[None, :]
+    r1_im = a_o.re[:, None] * a_o.im[None, :] - a_o.im[:, None] * a_o.re[None, :]
+    return s - C(r1_re, r1_im)
+
+
 def sr_dense_solve(
-    o_mat: jnp.ndarray,
-    htilda: jnp.ndarray,
+    o_mat: C,
+    htilda: C,
     lam: jnp.ndarray,
-    solver: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
-) -> jnp.ndarray:
+    solver: Callable[[C, C], C],
+) -> C:
     """Dense SR: build S (V,V), scale diagonal by (1+lambda), solve.
 
     Replaces the LAPACK/MAGMA dense path (StochasticReconfiguration,
-    optimizer.hpp:16-88; linear_solver.hpp BKF/SVD/cuLUF)."""
-    k = o_mat.shape[0]
+    optimizer.hpp:16-88; linear_solver.hpp BKF/SVD/cuLUF). Solvers use the
+    real 2Vx2V embedding of the Hermitian system (optim.solvers)."""
     f, a_o = force_vector(o_mat, htilda)
-    s = jnp.conj(o_mat.T) @ o_mat / k - jnp.outer(jnp.conj(a_o), a_o)
-    v = s.shape[0]
-    s = s + jnp.diag(lam.astype(s.real.dtype) * jnp.real(jnp.diagonal(s))).astype(s.dtype)
+    s = build_s_matrix(o_mat, a_o)
+    v = s.re.shape[0]
+    eye = jnp.eye(v, dtype=s.re.dtype)
+    s = C(s.re + lam.astype(s.re.dtype) * eye * jnp.diagonal(s.re), s.im)
     return solver(s, f)
 
 
-def sgd_diag_solve(o_mat: jnp.ndarray, htilda: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+def sgd_diag_solve(o_mat: C, htilda: C, lam: jnp.ndarray) -> C:
     """Diagonal-S-only variant (StochasticGradientDescent,
     optimizer.hpp:92-156): dx_i = F_i / ((1+lambda) * S_ii)."""
     f, a_o = force_vector(o_mat, htilda)
-    diag = jnp.mean(jnp.abs(o_mat) ** 2, axis=0) - jnp.abs(a_o) ** 2
-    return f / ((1.0 + lam) * diag).astype(f.dtype)
+    diag = sr_diag(o_mat, a_o)
+    return cplx.rscale(1.0 / ((1.0 + lam) * diag), f)

@@ -51,9 +51,14 @@ def shard_walker_tree(tree: Any, mesh: Mesh, n_walkers: int, axis_name: str = WA
     return jax.tree_util.tree_map(place, tree)
 
 
-def constrain_walkers(x: jnp.ndarray, mesh: Mesh | None, axis_name: str = WALKER_AXIS):
-    """with_sharding_constraint on the leading (walker) axis, no-op if mesh is None."""
+def constrain_walkers(x: Any, mesh: Mesh | None, axis_name: str = WALKER_AXIS):
+    """with_sharding_constraint on the leading (walker) axis of every array
+    leaf (pytrees like split-complex C pairs recurse); no-op if mesh is None."""
     if mesh is None:
         return x
-    spec = P(axis_name, *([None] * (x.ndim - 1)))
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def one(leaf):
+        spec = P(axis_name, *([None] * (leaf.ndim - 1)))
+        return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(one, x)

@@ -23,7 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from neural_network_quantum_state_tpu.ops import engine
+from neural_network_quantum_state_tpu.ops import cplx, engine
+from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
 
 
@@ -31,9 +32,9 @@ class MCState(NamedTuple):
     """Sampler state threaded through jit steps."""
 
     cache: Cache  # spins / y / sa, all (K, ...)
-    lnpsi: jnp.ndarray  # (K,) complex: ln psi of the current states
+    lnpsi: C  # (K,) split-complex: ln psi of the current states
     key: jax.Array  # threefry key (replaces TRNG4 jump streams)
-    n_accepted: jnp.ndarray  # () int64-ish counter (f32-safe: float)
+    n_accepted: jnp.ndarray  # () counter (f32-safe: float)
     n_proposed: jnp.ndarray  # () counter
 
 
@@ -50,11 +51,11 @@ def _sweep_scan(work: Work, cache: Cache, lnpsi0, schedule, uniforms):
         cache, lnpsi0, n_acc = carry
         site, u = xs
         lnpsi1 = engine.flip_log_psi(work, cache, site)
-        dln = jnp.real(lnpsi1) - jnp.real(lnpsi0)
+        dln = lnpsi1.re - lnpsi0.re
         # accept prob = min(1, exp(2*dln))   (impl_mcmc_sampler.hpp:48-52)
         accept = u < jnp.exp(2.0 * jnp.minimum(dln, 0.0))
         cache = engine.commit_flip(work, cache, site, accept)
-        lnpsi0 = jnp.where(accept, lnpsi1, lnpsi0)
+        lnpsi0 = cplx.where(accept, lnpsi1, lnpsi0)
         return (cache, lnpsi0, n_acc + jnp.sum(accept, dtype=jnp.float32)), None
 
     (cache, lnpsi0, n_acc), _ = jax.lax.scan(body, (cache, lnpsi0, jnp.zeros((), jnp.float32)), (schedule, uniforms))
@@ -71,7 +72,7 @@ def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> 
     key, sub = jax.random.split(state.key)
     n_steps = n_sweeps * schedule.shape[0]
     full_sched = jnp.tile(schedule, n_sweeps)
-    k = state.lnpsi.shape[0]
+    k = state.lnpsi.re.shape[0]
     uniforms = jax.random.uniform(sub, (n_steps, k), state.cache.spins.dtype)
     cache, lnpsi, n_acc = _sweep_scan(work, state.cache, state.lnpsi, full_sched, uniforms)
     return MCState(

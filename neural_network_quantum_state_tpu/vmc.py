@@ -113,7 +113,7 @@ class VMC:
             else:
                 dx = sr_dense_solve(o_mat, htilda, lam, dense_solvers.SOLVERS[cfg.solver])
             # NaN guard: freeze the update if <H> went non-finite
-            ok = jnp.isfinite(havg.real)
+            ok = jnp.isfinite(havg.re)
             new_params = machine.update_params(params, dx, cfg.learning_rate)
             new_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), new_params, params
@@ -142,14 +142,14 @@ class VMC:
         t0 = time.perf_counter()
         for n in range(n_iterations):
             params, state, stats = self._step_fn(params, state, jnp.asarray(n, jnp.int32))
-            e = complex(stats.energy)
+            e_re = float(stats.energy.re)
             rsd = float(stats.rsd)
-            history.append({"step": n, "energy": e.real, "rsd": rsd, "cg_iters": int(stats.cg_iters)})
+            history.append({"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters)})
             if callback is not None:
                 callback(n, stats)
             if verbose:
-                print(f"{n + 1:5d}  {e.real:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
-            if not jnp.isfinite(stats.energy.real):
+                print(f"{n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
+            if not jnp.isfinite(e_re):
                 print('# "Havg" has non-value type. We stop here.')
                 break
             if self.config.rsd_cutoff is not None and rsd < self.config.rsd_cutoff:
