@@ -40,8 +40,14 @@ class MCState(NamedTuple):
 
 def init_state(work: Work, spins: jnp.ndarray, key: jax.Array) -> MCState:
     cache, lnpsi = engine.full_forward(work, spins)
-    zero = jnp.zeros((), jnp.float32)
-    return MCState(cache=cache, lnpsi=lnpsi, key=key, n_accepted=zero, n_proposed=zero)
+    # distinct buffers per counter: aliased leaves break donate_argnums
+    return MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=jnp.zeros((), jnp.float32),
+        n_proposed=jnp.zeros((), jnp.float32),
+    )
 
 
 def _sweep_scan(work: Work, cache: Cache, lnpsi0, schedule, uniforms):
