@@ -1,4 +1,30 @@
 """Measurement estimators (reference L7, cpu/include/measurements.hpp,
-gpu/include/meas.cuh). Populated incrementally."""
+gpu/include/meas.cuh)."""
 
-__all__ = []
+from neural_network_quantum_state_tpu.measurements import estimators
+from neural_network_quantum_state_tpu.measurements.estimators import (
+    fidelity,
+    measure_energy,
+    neel_order,
+    order_parameter,
+    overlap_integral,
+    renyi2_entropy,
+    spin_x_correlation,
+    spin_z_correlation,
+    spontaneous_magnetization,
+)
+from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampler
+
+__all__ = [
+    "AmplitudeSampler",
+    "estimators",
+    "fidelity",
+    "measure_energy",
+    "neel_order",
+    "order_parameter",
+    "overlap_integral",
+    "renyi2_entropy",
+    "spin_x_correlation",
+    "spin_z_correlation",
+    "spontaneous_magnetization",
+]

@@ -1,0 +1,124 @@
+"""Measurement estimators vs exact enumeration on small systems
+(the reference cross-validates C++ vs NumPy estimators; here the oracle is
+exact summation over the 2^N basis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_network_quantum_state_tpu.measurements import (
+    AmplitudeSampler,
+    fidelity,
+    overlap_integral,
+    renyi2_entropy,
+    spin_x_correlation,
+    spin_z_correlation,
+    spontaneous_magnetization,
+)
+from neural_network_quantum_state_tpu.models import RBM
+from neural_network_quantum_state_tpu.ops import cplx, engine
+
+N = 6
+
+
+def _all_spins(n):
+    idx = np.arange(2**n)
+    bits = (idx[:, None] >> np.arange(n)[None, :]) & 1
+    return 1.0 - 2.0 * bits  # (2^n, n)
+
+
+def _psi_vector(machine, params):
+    s = jnp.asarray(_all_spins(N), jnp.float64)
+    ln = engine.log_psi(machine.make_work(params), s)
+    return np.exp(np.asarray(cplx.to_complex(ln)))
+
+
+def _machine(seed):
+    m = RBM(n_inputs=N, n_hiddens=10, dtype=jnp.float64)
+    return m, m.init_params(jax.random.PRNGKey(seed))
+
+
+def test_overlap_integral_vs_exact():
+    m1, p1 = _machine(0)
+    m2, p2 = _machine(1)
+    psi1, psi2 = _psi_vector(m1, p1), _psi_vector(m2, p2)
+    # exact <psi1|psi2>/<psi1|psi1> (the |psi1|^2-weighted ratio estimator)
+    want = np.sum(np.conj(psi1) * psi2) / np.sum(np.abs(psi1) ** 2)
+    smp = AmplitudeSampler(m1, p1, n_walkers=2048, key=5)
+    got, re_err, im_err = overlap_integral(smp, m2.make_work(p2), n_trials=40, n_warmup=150, n_sweeps=3)
+    assert abs(got.real - want.real) < 5 * re_err + 0.02, (got, want)
+    assert abs(got.imag - want.imag) < 5 * im_err + 0.02, (got, want)
+
+
+def test_renyi2_vs_exact():
+    m1, p1 = _machine(2)
+    psi = _psi_vector(m1, p1)
+    psi = psi / np.linalg.norm(psi)
+    l = 3  # subsystem A = sites [0, l)
+    # basis index bit i = site i; A bits are the low l bits
+    dim_a, dim_b = 2**l, 2 ** (N - l)
+    # index = sum_i bit_i 2^i: A bits low -> reshape (dim_b, dim_a) with B major
+    psi_mat = psi.reshape(dim_b, dim_a)  # [b, a]
+    rho_a = psi_mat.T @ psi_mat.conj()  # rho_A[a,a'] = sum_b psi[a,b] psi*[a',b]
+    s2_exact = -np.log(np.real(np.trace(rho_a @ rho_a)))
+    s1 = AmplitudeSampler(m1, p1, n_walkers=2048, key=7)
+    s2 = AmplitudeSampler(m1, p1, n_walkers=2048, key=987654321)
+    got = renyi2_entropy(s1, s2, l, n_iterations=50, n_sweeps=2, n_warmup=150)
+    assert abs(got - s2_exact) < 0.08, (got, s2_exact)
+
+
+def test_fidelity_vs_exact():
+    m1, p1 = _machine(3)
+    m2, p2 = _machine(4)
+    psi1, psi2 = _psi_vector(m1, p1), _psi_vector(m2, p2)
+    want = abs(np.vdot(psi1, psi2)) / (np.linalg.norm(psi1) * np.linalg.norm(psi2))
+    s1 = AmplitudeSampler(m1, p1, n_walkers=2048, key=9)
+    s2 = AmplitudeSampler(m2, p2, n_walkers=2048, key=10)
+    got, err = fidelity(s1, s2, n_meas=40, n_warmup=150, n_sweeps=2)
+    assert abs(got - want) < 10 * err + 0.03, (got, want, err)
+
+
+def test_smag_and_zz_vs_exact():
+    m1, p1 = _machine(5)
+    psi = _psi_vector(m1, p1)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+    s = _all_spins(N)
+    m_abs = np.abs(s.mean(axis=1))
+    want_m1 = float((p * m_abs).sum())
+    want_m2 = float((p * m_abs**2).sum())
+    want_zz = (s[:, :, None] * s[:, None, :] * p[:, None, None]).sum(axis=0)
+
+    smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=12)
+    m1_got, m2_got, m4_got = spontaneous_magnetization(smp, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert abs(m1_got - want_m1) < 0.02, (m1_got, want_m1)
+    assert abs(m2_got - want_m2) < 0.02, (m2_got, want_m2)
+
+    smp2 = AmplitudeSampler(m1, p1, n_walkers=4096, key=13)
+    zz = spin_z_correlation(smp2, n_iterations=30, n_sweeps=2, n_warmup=150)
+    np.testing.assert_allclose(zz, want_zz, atol=0.04)
+
+
+def test_spin_x_correlation_vs_exact():
+    m1, p1 = _machine(6)
+    psi = _psi_vector(m1, p1)
+    norm2 = np.sum(np.abs(psi) ** 2)
+    dim = 2**N
+    want_s = np.zeros(N)
+    want_ss = np.zeros((N, N))
+    idx = np.arange(dim)
+    for i in range(N):
+        fi = idx ^ (1 << i)
+        want_s[i] = np.real(np.sum(np.conj(psi) * psi[fi])) / norm2
+        for j in range(N):
+            if j == i:
+                want_ss[i, j] = 1.0
+                continue
+            fij = fi ^ (1 << j)
+            want_ss[i, j] = np.real(np.sum(np.conj(psi) * psi[fij])) / norm2
+
+    smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=14)
+    s_got, ss_got = spin_x_correlation(smp, n_iterations=25, n_sweeps=2, n_warmup=150)
+    np.testing.assert_allclose(s_got, want_s, atol=0.04)
+    np.testing.assert_allclose(ss_got, want_ss, atol=0.05)
