@@ -1,4 +1,5 @@
 from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
+from neural_network_quantum_state_tpu.hamiltonians.hubbard import HubbardChain
 from neural_network_quantum_state_tpu.hamiltonians.ising import (
     LITFIChain,
     TFIChain,
@@ -13,10 +14,12 @@ REGISTRY = {
     "tfisq": TFISQ,
     "tfitri": TFITRI,
     "tficheckerboard": TFICheckerBoard,
+    "hubbardchain": HubbardChain,
 }
 
 __all__ = [
     "Hamiltonian",
+    "HubbardChain",
     "LITFIChain",
     "REGISTRY",
     "TFIChain",

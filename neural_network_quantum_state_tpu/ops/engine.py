@@ -174,6 +174,36 @@ def commit_flip2_per_walker(
     return Cache(spins=spins, y=y, sa=sa)
 
 
+def all_flip2_log_psi(work: Work, cache: Cache, sites_a: jnp.ndarray, sites_b: jnp.ndarray) -> C:
+    """ln psi for a list of T pair-flips shared across walkers: (K, T).
+
+    The Hubbard hopping estimator's 2(L-1)+1 sequential pair-forwards per
+    flavor (gpu impl_hamiltonians.cuh:637-670) collapsed into one batched
+    op: y1[k,t,j] = y[k,j] - 2 s[k,a_t] W[a_t,j] - 2 s[k,b_t] W[b_t,j].
+    """
+    ta = 2.0 * cache.spins[:, sites_a]  # (K, T)
+    tb = 2.0 * cache.spins[:, sites_b]
+    wa_re, wa_im = work.w.re[sites_a, :], work.w.im[sites_a, :]  # (T, H)
+    wb_re, wb_im = work.w.re[sites_b, :], work.w.im[sites_b, :]
+    y1 = C(
+        cache.y.re[:, None, :] - ta[:, :, None] * wa_re[None] - tb[:, :, None] * wb_re[None],
+        cache.y.im[:, None, :] - ta[:, :, None] * wa_im[None] - tb[:, :, None] * wb_im[None],
+    )
+    ly = cplx.clogcosh(y1)  # (K, T, H)
+    if work.c is None:
+        lnpsi = cplx.csum(ly, axis=-1)
+    else:
+        lnpsi = cplx.cdot(ly, work.c)
+    lnpsi = lnpsi + C(cache.sa.re[:, None], cache.sa.im[:, None])
+    if work.a is not None:
+        aa, ab = work.a[sites_a], work.a[sites_b]
+        lnpsi = lnpsi + C(
+            -ta * aa.re[None, :] - tb * ab.re[None, :],
+            -ta * aa.im[None, :] - tb * ab.im[None, :],
+        )
+    return lnpsi
+
+
 def all_flip_log_psi(work: Work, cache: Cache, sites: jnp.ndarray) -> C:
     """ln psi of *every* single-site flip in `sites` for every walker: (K, n).
 

@@ -61,6 +61,59 @@ def litfi_chain_dense(n: int, h: float, j: float, alpha: float, pbc: bool = True
     return tfi_hamiltonian_dense(jm, h, scale=1.0 / n)
 
 
+def hubbard_chain_dense(
+    l: int,
+    u: float,
+    t: float,
+    pbc: bool = True,
+    v: np.ndarray | None = None,
+    scale_per_site: bool = True,
+) -> np.ndarray:
+    """Dense JW-spin-basis Hubbard chain H matching hamiltonians.hubbard's
+    local-energy conventions (occupied = +1; inputs [0,L) up, [L,2L) down).
+
+    H[s,s'] built so that Etilde(s) = sum_s' H[s,s'] psi(s')/psi(s)."""
+    n = 2 * l
+    dim = 2**n
+    s = _spins_table(n)  # (dim, n)
+    ham = np.zeros((dim, dim))
+    idx = np.arange(dim)
+
+    def flip2(a, b):
+        return idx ^ (1 << a) ^ (1 << b)
+
+    # interior hopping, both directions, both flavors
+    for off in (0, l):
+        for i in range(l - 1):
+            for a, b in ((off + i, off + i + 1), (off + i + 1, off + i)):
+                coeff = -0.25 * t * (1.0 + s[:, a]) * (1.0 - s[:, b])
+                ham[idx, flip2(a, b)] += coeff
+        if pbc:
+            a, b = off, off + l - 1
+            string = np.prod(-s[:, off + 1 : off + l - 1], axis=1)
+            coeff = -0.25 * t * 2.0 * string * (1.0 - s[:, a] * s[:, b])
+            ham[idx, flip2(a, b)] += coeff
+    # onsite + potential (diagonal)
+    diag = 0.25 * u * np.sum((1.0 + s[:, :l]) * (1.0 + s[:, l:]), axis=1)
+    if v is not None:
+        diag = diag + 0.5 * np.sum(np.asarray(v)[None, :] * (1.0 + s), axis=1)
+    ham[idx, idx] += diag
+    if scale_per_site:
+        ham /= l
+    return ham
+
+
+def sector_restrict(ham: np.ndarray, l: int, n_up: int, n_down: int) -> tuple[np.ndarray, np.ndarray]:
+    """Restrict a 2L-spin Hubbard H to the (n_up, n_down) particle sector.
+    Returns (H_sector, basis indices)."""
+    n = 2 * l
+    s = _spins_table(n)
+    occ = (1 + s) / 2
+    mask = (occ[:, :l].sum(1) == n_up) & (occ[:, l:].sum(1) == n_down)
+    sel = np.where(mask)[0]
+    return ham[np.ix_(sel, sel)], sel
+
+
 def ground_energy(ham: np.ndarray) -> float:
     return float(np.linalg.eigvalsh(ham)[0])
 

@@ -66,6 +66,22 @@ class VMC:
         self.config = config
         self.mesh = mesh
         self.schedule = jnp.asarray(hamiltonian.schedule())
+        # proposal family: single-spin-flip Metropolis, or Kawasaki pair
+        # exchange for particle-conserving models (Hubbard)
+        if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
+            bonds, n_unit = hamiltonian.bonds, hamiltonian.n_unit_steps
+
+            def sweep(work, state, n):
+                from neural_network_quantum_state_tpu.sampler import kawasaki
+
+                return kawasaki.exchange_sweeps(work, state, bonds, n, n_unit)
+
+        else:
+
+            def sweep(work, state, n):
+                return metropolis.sweeps(work, state, self.schedule, n)
+
+        self._sweep = sweep
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------
@@ -88,7 +104,7 @@ class VMC:
 
     def warm_up(self, params, state, n_sweeps: int = 500):
         work = self.machine.make_work(params)
-        return metropolis.sweeps(work, state, self.schedule, n_sweeps)
+        return self._sweep(work, state, n_sweeps)
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -98,7 +114,7 @@ class VMC:
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, state: metropolis.MCState, step_idx: jnp.ndarray):
             work = machine.make_work(params)
-            state = metropolis.sweeps(work, state, self.schedule, cfg.n_sweeps_per_step)
+            state = self._sweep(work, state, cfg.n_sweeps_per_step)
             htilda = ham.local_energy(work, state.cache, state.lnpsi)
             o_mat = machine.grad_log(params, state.cache)
             o_mat = meshlib.constrain_walkers(o_mat, mesh)
