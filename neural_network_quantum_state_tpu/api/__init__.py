@@ -1,3 +1,6 @@
-"""pynqs-compatible Python sampling API (reference L9). Populated incrementally."""
+"""pynqs-compatible Python sampling API (reference L9)."""
 
-__all__ = []
+from neural_network_quantum_state_tpu.api import sampler
+from neural_network_quantum_state_tpu.api.sampler import FFNN, RBM
+
+__all__ = ["FFNN", "RBM", "sampler"]

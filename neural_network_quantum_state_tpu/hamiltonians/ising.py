@@ -48,15 +48,19 @@ class _NeighborTFI(Hamiltonian):
 
     @cached_property
     def _nn(self):
+        # cache as NUMPY: jnp constants materialized lazily inside a jit
+        # trace would leak tracers into the (python-level) cache
         nnidx, jmat = self._tables()
-        return jnp.asarray(nnidx, jnp.int32), jnp.asarray(jmat, jnp.float64).astype(jnp.float32)
+        return np.asarray(nnidx, np.int32), np.asarray(jmat, np.float64)
 
     def diag_energy(self, spins: jnp.ndarray) -> jnp.ndarray:
         """0.5 * sum_i s_i * sum_n J[i,n] * s_nn  -> (K,) real."""
-        nnidx, jmat = self._nn
+        nnidx_np, jmat_np = self._nn
+        nnidx = jnp.asarray(nnidx_np)
+        jmat = jnp.asarray(jmat_np, spins.dtype)
         s = spins
         neigh = s[:, nnidx]  # (K, N, nnn)
-        bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :].astype(s.dtype))
+        bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :])
         return 0.5 * bond
 
     def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
@@ -108,7 +112,9 @@ class LITFIChain(Hamiltonian):
             raise ValueError("PBC long-range chain requires even L (set pbc=False).")
 
     @cached_property
-    def j_matrix(self) -> jnp.ndarray:
+    def j_matrix(self) -> np.ndarray:
+        """Full coupling matrix J_ij (numpy; converted to device dtype at
+        the use site - see _nn note above about jit-trace caching)."""
         l = self.n_sites
         i, j = np.meshgrid(np.arange(l), np.arange(l), indexing="ij")
         d = np.abs(i - j).astype(np.float64)
@@ -117,7 +123,7 @@ class LITFIChain(Hamiltonian):
         with np.errstate(divide="ignore"):
             jm = self.j * d**-self.alpha
         np.fill_diagonal(jm, 0.0)
-        return jnp.asarray(jm, jnp.float32)
+        return jm
 
     def init_spins(self, key: jax.Array, n_walkers: int, dtype=jnp.float32) -> jnp.ndarray:
         if self.j > 0:  # Neel start
@@ -130,7 +136,7 @@ class LITFIChain(Hamiltonian):
 
     def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
         s = cache.spins
-        sj = s @ self.j_matrix.astype(s.dtype)  # (K, L) dense long-range GEMM
+        sj = s @ jnp.asarray(self.j_matrix, s.dtype)  # (K, L) dense long-range GEMM
         diag = 0.5 * jnp.sum(sj * s, axis=-1)
         offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites)
         inv_l = 1.0 / self.n_sites

@@ -1,4 +1,4 @@
-from neural_network_quantum_state_tpu.sampler import kawasaki, metropolis, schedule
+from neural_network_quantum_state_tpu.sampler import kawasaki, metropolis, schedule, tempering
 from neural_network_quantum_state_tpu.sampler.kawasaki import exchange_sweeps, ring_bonds, two_ring_bonds
 from neural_network_quantum_state_tpu.sampler.metropolis import MCState, acceptance_ratio, init_state, sweeps
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
 from neural_network_quantum_state_tpu.models.base import Machine
-from neural_network_quantum_state_tpu.ops import engine
+from neural_network_quantum_state_tpu.ops import cplx, engine
 from neural_network_quantum_state_tpu.optim import solvers as dense_solvers
 from neural_network_quantum_state_tpu.optim.sr import (
     SRStats,
@@ -48,6 +48,12 @@ class VMCConfig:
     cg_tol: float = 1e-5  # gpu impl_optimizer.cuh:60
     cg_max_iters: int = 1000
     rsd_cutoff: Optional[float] = None  # early stop (gpu optimizer.cuh:160-165)
+    n_beta: int = 1  # >1: parallel tempering with n_beta replicas per chain
+    # Trust region on ||S^-1 F||: healthy SR steps stay well below 1 (the
+    # lambda*diag(S) regularization bounds them); near-singular solves on a
+    # collapsed walker distribution emit steps of norm 10-30 that can pin
+    # the sampler. None disables (exact reference semantics).
+    max_dx_norm: Optional[float] = 1.0
     seed: int = 0
 
 
@@ -66,15 +72,27 @@ class VMC:
         self.config = config
         self.mesh = mesh
         self.schedule = jnp.asarray(hamiltonian.schedule())
-        # proposal family: single-spin-flip Metropolis, or Kawasaki pair
-        # exchange for particle-conserving models (Hubbard)
+        # proposal family: single-spin-flip Metropolis, Kawasaki pair
+        # exchange (particle-conserving Hubbard), or replica-exchange
+        # parallel tempering (config.n_beta > 1)
+        if config.n_beta > 1 and config.n_walkers % config.n_beta != 0:
+            raise ValueError("n_walkers must be a multiple of n_beta")
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
+            if config.n_beta > 1:
+                raise NotImplementedError("parallel tempering + exchange sampler")
             bonds, n_unit = hamiltonian.bonds, hamiltonian.n_unit_steps
 
             def sweep(work, state, n):
                 from neural_network_quantum_state_tpu.sampler import kawasaki
 
                 return kawasaki.exchange_sweeps(work, state, bonds, n, n_unit)
+
+        elif config.n_beta > 1:
+
+            def sweep(work, state, n):
+                from neural_network_quantum_state_tpu.sampler import tempering
+
+                return tempering.tempering_sweeps(work, state, self.schedule, n, config.n_beta)
 
         else:
 
@@ -115,8 +133,15 @@ class VMC:
         def step(params, state: metropolis.MCState, step_idx: jnp.ndarray):
             work = machine.make_work(params)
             state = self._sweep(work, state, cfg.n_sweeps_per_step)
-            htilda = ham.local_energy(work, state.cache, state.lnpsi)
-            o_mat = machine.grad_log(params, state.cache)
+            if cfg.n_beta > 1:
+                # estimators read only the beta=1 replicas (replica-minor
+                # layout: strided slice; reference impl_mcmc_sampler.hpp:193)
+                est_cache = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.cache)
+                est_lnpsi = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.lnpsi)
+            else:
+                est_cache, est_lnpsi = state.cache, state.lnpsi
+            htilda = ham.local_energy(work, est_cache, est_lnpsi)
+            o_mat = machine.grad_log(params, est_cache)
             o_mat = meshlib.constrain_walkers(o_mat, mesh)
             havg, rsd = energy_and_rsd(htilda)
             lam = lambda_schedule(step_idx, dtype=machine.real_dtype)
@@ -124,12 +149,32 @@ class VMC:
             if cfg.solver == "cg":
                 dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=min(cfg.cg_max_iters, machine.n_vars))
                 cg_iters = res.iterations
+            elif cfg.solver == "minresqlp":
+                from neural_network_quantum_state_tpu.optim.minres import sr_minres_solve
+
+                dx, res = sr_minres_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
+                cg_iters = res.iterations
             elif cfg.solver == "sgd":
                 dx = sgd_diag_solve(o_mat, htilda, lam)
             else:
                 dx = sr_dense_solve(o_mat, htilda, lam, dense_solvers.SOLVERS[cfg.solver])
-            # NaN guard: freeze the update if <H> went non-finite
-            ok = jnp.isfinite(havg.re)
+            if cfg.max_dx_norm is not None:
+                # Trust region (robustness beyond the reference): when the
+                # walker distribution collapses, diag(S) -> 0 and the
+                # reference's lambda*diag(S) regularization
+                # (functor_for_CG.hpp:82-84) vanishes exactly when it is
+                # needed, letting the solve emit an unbounded step that can
+                # pin the sampler. Cap ||dx||.
+                dx_norm = jnp.sqrt(cplx.norm2(dx))
+                scale = jnp.minimum(1.0, cfg.max_dx_norm / jnp.maximum(dx_norm, 1e-30))
+                dx = dx * scale.astype(dx.re.dtype)
+            # Guards: freeze the update if <H> went non-finite (reference
+            # NaN guard, gpu optimizer.cuh:134-138), or if the energy
+            # variance collapsed to zero - then S and F are exact zeros,
+            # diag(S)-scaled regularization vanishes and the solve is pure
+            # noise amplification (observed to pin PT runs permanently).
+            var = jnp.mean(cplx.abs2(htilda)) - cplx.abs2(havg)
+            ok = jnp.isfinite(havg.re) & (var > 0.0)
             new_params = machine.update_params(params, dx, cfg.learning_rate)
             new_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), new_params, params
