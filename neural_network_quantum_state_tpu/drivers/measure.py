@@ -1,0 +1,118 @@
+"""Generic measurement driver (reference meas_* mains + python meas_*.py).
+
+    python -m neural_network_quantum_state_tpu.drivers.measure \
+        -what=renyi -ansatz=rbmtrsymm -L=32 -nf=4 -ns=2048 \
+        -prefix=./runs/RBMTrSymmLICH-L32NF4A2T2V1 -l=16 -niter=500
+
+what: energy-free estimators over a trained checkpoint -
+  renyi | fidelity | smag | neel | zz | xx | overlap
+(fidelity/overlap compare -prefix against -prefix2.)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_network_quantum_state_tpu.drivers.common import build_machine
+from neural_network_quantum_state_tpu.measurements import (
+    AmplitudeSampler,
+    fidelity,
+    neel_order,
+    overlap_integral,
+    renyi2_entropy,
+    spin_x_correlation,
+    spin_z_correlation,
+    spontaneous_magnetization,
+)
+from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_text
+from neural_network_quantum_state_tpu.utils.cli import DriverArgs
+
+OPTIONS = [
+    ("what", "renyi | fidelity | smag | neel | zz | xx | overlap"),
+    ("ansatz", "machine family of the checkpoint"),
+    ("L", "# of machine inputs"),
+    ("nf", "# of hidden units / filters"),
+    ("ns", "# of walkers"),
+    ("prefix", "checkpoint prefix to load"),
+    ("prefix2", "second checkpoint (fidelity/overlap)"),
+    ("l", "renyi subregion size"),
+    ("niter", "# of measurement iterations"),
+    ("nms", "# of sweeps between measurements"),
+    ("nwarm", "# of warm-up sweeps"),
+    ("seed", "RNG seed"),
+    ("dtype", "float32 | float64"),
+]
+DEFAULTS = {
+    "prefix2": "None",
+    "l": "0",
+    "niter": "500",
+    "nms": "3",
+    "nwarm": "300",
+    "seed": "0",
+    "dtype": "float32",
+}
+
+
+def main(argv=None):
+    args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="measure")
+    print(args.banner())
+    what = args.find("what").lower()
+    dtype = jnp.float32 if args.find("dtype") == "float32" else jnp.float64
+    n, nf, ns = args.find("L", int), args.find("nf", int), args.find("ns", int)
+    seed = args.find("seed", int)
+    niter, nms, nwarm = args.find("niter", int), args.find("nms", int), args.find("nwarm", int)
+
+    machine = build_machine(args.find("ansatz").lower(), n, nf, dtype)
+    params = load_reference_text(machine, args.find("prefix"))
+
+    def make_sampler(key):
+        return AmplitudeSampler(machine, params, ns, key=key)
+
+    if what == "renyi":
+        s1, s2 = make_sampler(seed), make_sampler(seed + 987654321)
+        s2_val = renyi2_entropy(s1, s2, args.find("l", int), niter, nms, nwarm)
+        print(f"# Renyi entropy(-log(Tr[rho^2])) : {s2_val:.6f}")
+        return s2_val
+    if what in ("fidelity", "overlap"):
+        machine2 = build_machine(args.find("ansatz").lower(), n, nf, dtype)
+        params2 = load_reference_text(machine2, args.find("prefix2"))
+        if what == "fidelity":
+            s1 = make_sampler(seed)
+            s2 = AmplitudeSampler(machine2, params2, ns, key=seed + 987654321)
+            val, err = fidelity(s1, s2, niter, nwarm, nms)
+            print(f"# fidelity : {val:.6f} +/- {err:.2e}")
+            return val, err
+        s1 = make_sampler(seed)
+        val, re_err, im_err = overlap_integral(s1, machine2.make_work(params2), niter, nwarm, nms)
+        print(f"# real part: {val.real:.6f} +/- {re_err:.2e}")
+        print(f"# imag part: {val.imag:.6f} +/- {im_err:.2e}")
+        return val
+    if what == "smag":
+        m1, m2, m4 = spontaneous_magnetization(make_sampler(seed), niter, nms, nwarm)
+        print(f"# m1={m1:.6f} m2={m2:.6f} m4={m4:.6f}")
+        return m1, m2, m4
+    if what == "neel":
+        side = int(round(n**0.5))
+        m1, m2, m4 = neel_order(make_sampler(seed), side, niter, nms, nwarm)
+        print(f"# neel m1={m1:.6f} m2={m2:.6f} m4={m4:.6f}")
+        return m1, m2, m4
+    if what == "zz":
+        ss = spin_z_correlation(make_sampler(seed), niter, nms, nwarm)
+        np.savetxt(args.find("prefix") + ".zz.dat", ss)
+        print(f"# wrote {args.find('prefix')}.zz.dat")
+        return ss
+    if what == "xx":
+        s, ss = spin_x_correlation(make_sampler(seed), niter, nms, nwarm)
+        np.savetxt(args.find("prefix") + ".x.dat", s)
+        np.savetxt(args.find("prefix") + ".xx.dat", ss)
+        print(f"# wrote {args.find('prefix')}.x.dat / .xx.dat")
+        return s, ss
+    raise ValueError(f"unknown measurement '{what}'")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Generic VMC ground-state training driver.
+
+One parameterized entry point covering the reference's per-(lattice,ansatz)
+training mains ({CH,LICH,SQ,TRI,CB,fermi_hubbard_CH}-train_* - SURVEY.md
+2.6): -name=value CLI, hyperparameter grid sweeps over comma lists, warm
+start from -ifprefix, reference-format checkpoint save, per-iteration
+metrics, RSD early stop.
+
+    python -m neural_network_quantum_state_tpu.drivers.train \
+        -model=LICH -ansatz=rbmtrsymm -L=32 -nf=4 -ns=2048 -niter=2000 \
+        -alpha=2,2.5 -theta=2 -ver=1 -path=./runs
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import neural_network_quantum_state_tpu as nqs
+from neural_network_quantum_state_tpu.drivers.common import (
+    build_hamiltonian,
+    build_machine,
+    checkpoint_prefix,
+)
+from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_text, save_reference_text
+from neural_network_quantum_state_tpu.utils.cli import DriverArgs
+from neural_network_quantum_state_tpu.utils.metrics import MetricsLogger
+
+OPTIONS = [
+    ("model", "lattice/model: CH | LICH | SQ | TRI | CB | hubbard"),
+    ("ansatz", "rbm | rbmtrsymm | rbmsfsymm | rbmz2prsymm | ffnn | ffnntrsymm | ffnnsfsymm"),
+    ("L", "# of lattice sites (Hubbard: L sites -> 2L machine inputs)"),
+    ("nf", "# of hidden units / filters (comma list sweeps)"),
+    ("ns", "# of walkers (parallel Markov chains)"),
+    ("niter", "# of SR iterations"),
+    ("theta", "LICH only: J=sin(theta), h=-cos(theta) (comma list)"),
+    ("alpha", "LICH only: power-law decay exponent (comma list)"),
+    ("h", "transverse field (non-LICH spin models)"),
+    ("J", "Ising coupling (non-LICH spin models)"),
+    ("U", "hubbard only: onsite interaction"),
+    ("t", "hubbard only: hopping"),
+    ("npar", "hubbard only: n_up,n_down"),
+    ("ver", "version tag (comma list)"),
+    ("nwarm", "# of warm-up sweeps"),
+    ("nms", "# of sweeps per SR iteration"),
+    ("lr", "learning rate (deltaTau)"),
+    ("rsd", "RSD convergence cutoff"),
+    ("solver", "cg | minresqlp | lu | cholesky | svd | sgd"),
+    ("nbeta", "parallel-tempering replicas (1 = off)"),
+    ("path", "directory for checkpoints/metrics"),
+    ("seed", "RNG seed"),
+    ("ifprefix", "warm-start checkpoint prefix ('None' = cold)"),
+    ("dtype", "float32 | float64"),
+    ("pbc", "periodic boundary (1/0)"),
+]
+DEFAULTS = {
+    "theta": "0",
+    "alpha": "2",
+    "h": "-1",
+    "J": "-1",
+    "U": "4",
+    "t": "1",
+    "npar": "1,1",
+    "ver": "1",
+    "nwarm": "500",
+    "nms": "1",
+    "lr": "1e-2",
+    "rsd": "1e-3",
+    "solver": "cg",
+    "nbeta": "1",
+    "path": ".",
+    "seed": "0",
+    "ifprefix": "None",
+    "dtype": "float32",
+    "pbc": "1",
+}
+
+
+def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
+    dtype = jnp.float32 if args.find("dtype") == "float32" else jnp.float64
+    pbc = bool(args.find("pbc", int))
+    n_inputs = 2 * l if model == "hubbard" else l
+    machine = build_machine(ansatz, n_inputs, nf, dtype)
+
+    ham_kw: dict = {"pbc": pbc}
+    prefix_kw: dict = {}
+    if model == "lich":
+        ham_kw.update(j=math.sin(theta), h=-math.cos(theta), alpha=alpha)
+        prefix_kw.update(alpha=alpha, theta=theta)
+    elif model == "hubbard":
+        n_up, n_down = args.mfind("npar", int)
+        ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
+        prefix_kw.update(u=args.find("U", float))
+    elif model == "cb":
+        ham_kw.update(h=args.find("h", float), j1=args.find("J", float))
+        prefix_kw.update(h=args.find("h", float))
+    else:
+        ham_kw.update(h=args.find("h", float), j=args.find("J", float))
+        prefix_kw.update(h=args.find("h", float))
+    ham = build_hamiltonian(model, n_inputs, **ham_kw)
+
+    prefix = checkpoint_prefix(args.find("path"), model, ansatz, n_inputs, nf, ver, **prefix_kw)
+    cfg = nqs.VMCConfig(
+        n_walkers=args.find("ns", int),
+        n_sweeps_per_step=args.find("nms", int),
+        learning_rate=args.find("lr", float),
+        solver=args.find("solver"),
+        rsd_cutoff=args.find("rsd", float),
+        n_beta=args.find("nbeta", int),
+        seed=args.find("seed", int),
+    )
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    ifprefix = args.find("ifprefix")
+    if ifprefix != "None":
+        params = load_reference_text(machine, args.find("path") + "/" + ifprefix)
+        print(f"# warm start from {ifprefix}")
+    t0 = time.time()
+    state = vmc.warm_up(params, state, args.find("nwarm", int))
+
+    log = MetricsLogger(prefix + ".metrics.jsonl", echo=True)
+
+    def callback(n, stats):
+        log.log(
+            n,
+            energy=float(stats.energy.re),
+            rsd=float(stats.rsd),
+            cg_iters=int(stats.cg_iters),
+            lam=float(stats.lam),
+        )
+
+    params, state, history, elapsed = vmc.run(params, state, args.find("niter", int), callback=callback)
+    save_reference_text(machine, params, prefix)
+    log.close()
+    print(f"# elapsed time: {time.time() - t0:.1f}(sec)  saved: {prefix}")
+    return {"prefix": prefix, "history": history, "params": params, "machine": machine}
+
+
+def main(argv=None):
+    args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="train")
+    print(args.banner())
+    model = args.find("model").lower()
+    ansatz = args.find("ansatz").lower()
+    l = args.find("L", int)
+    results = []
+    for ver in args.mfind("ver", int):
+        for nf in args.mfind("nf", int):
+            for alpha in args.mfind("alpha", float):
+                for theta in args.mfind("theta", float):
+                    results.append(run_one(model, ansatz, l, nf, args, theta, alpha, ver))
+                    if model != "lich":
+                        break  # theta sweep only applies to LICH
+                if model != "lich":
+                    break
+    return results
+
+
+if __name__ == "__main__":
+    main()

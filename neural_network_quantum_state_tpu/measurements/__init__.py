@@ -1,7 +1,8 @@
 """Measurement estimators (reference L7, cpu/include/measurements.hpp,
 gpu/include/meas.cuh)."""
 
-from neural_network_quantum_state_tpu.measurements import estimators
+from neural_network_quantum_state_tpu.measurements import estimators, fermion
+from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler, opdm_pair
 from neural_network_quantum_state_tpu.measurements.estimators import (
     fidelity,
     measure_energy,
@@ -17,8 +18,11 @@ from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampl
 
 __all__ = [
     "AmplitudeSampler",
+    "FermionAmplitudeSampler",
     "estimators",
+    "fermion",
     "fidelity",
+    "opdm_pair",
     "measure_energy",
     "neel_order",
     "order_parameter",

@@ -1,0 +1,122 @@
+"""Fermion measurements: particle-conserving sampler + pair OPDM.
+
+Reference: fermion::jordanwigner::Sampler4SpinHalf and MeasOPDM
+(gpu/include/meas.cuh:226-283, impl_meas.cuh:505-688). The estimator is the
+pair one-particle density matrix
+
+    OPDM(n,m) = <psi| c+_{n+m,up} c+_{n+m,dn} c_{n,dn} c_{n,up} |psi>
+
+with JW-string local value (meas__OPDM__ kernels, impl_meas.cuh:648-686):
+
+    m>0: 1/16 (1+s^up_{n+m})(1+s^dn_{n+m})(1-s^up_n)(1-s^dn_n)
+              * prod_{l=n+1}^{n+m-1} s^up_l s^dn_l * psi(flip)/psi(s)
+    m=0: 1/4 (1+s^up_n)(1+s^dn_n)          (double occupancy)
+
+where flip negates sites n and n+m in both flavor sectors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_network_quantum_state_tpu.models.base import Machine, Params
+from neural_network_quantum_state_tpu.ops import cplx, engine
+from neural_network_quantum_state_tpu.sampler import kawasaki, metropolis
+
+
+class FermionAmplitudeSampler:
+    """|psi|^2 sampler with Kawasaki pair-exchange proposals (conserves
+    per-flavor particle numbers) - fermion Sampler4SpinHalf."""
+
+    def __init__(
+        self,
+        machine: Machine,
+        params: Params,
+        n_walkers: int,
+        n_up: int,
+        n_down: int,
+        key: jax.Array | int = 0,
+        per_flavor_rings: bool = True,
+    ):
+        if machine.n_inputs % 2 != 0:
+            raise ValueError("fermion machines need 2L inputs")
+        self.machine = machine
+        self.params = params
+        self.work = machine.make_work(params)
+        self.l = machine.n_inputs // 2
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        kinit, krun = jax.random.split(key)
+        from neural_network_quantum_state_tpu.hamiltonians.hubbard import HubbardChain
+
+        ham = HubbardChain(n_sites=machine.n_inputs, n_up=n_up, n_down=n_down)
+        spins = ham.init_spins(kinit, n_walkers, machine.real_dtype)
+        self.bonds = (
+            jnp.asarray(kawasaki.two_ring_bonds(self.l))
+            if per_flavor_rings
+            else jnp.asarray(kawasaki.ring_bonds(machine.n_inputs))
+        )
+        self.n_unit_steps = machine.n_inputs
+        self.state = metropolis.init_state(self.work, spins, krun)
+
+    def warm_up(self, n_sweeps: int) -> None:
+        self.do_mcmc_steps(n_sweeps)
+
+    def do_mcmc_steps(self, n_sweeps: int) -> None:
+        self.state = kawasaki.exchange_sweeps(self.work, self.state, self.bonds, n_sweeps, self.n_unit_steps)
+
+    @property
+    def spins(self) -> jnp.ndarray:
+        return self.state.cache.spins
+
+    @property
+    def lnpsi(self):
+        return self.state.lnpsi
+
+
+def opdm_pair(
+    sampler: FermionAmplitudeSampler,
+    n: int,
+    m: int,
+    n_iterations: int,
+    n_sweeps: int = 1,
+    n_warmup: int = 100,
+) -> complex:
+    """<c+_{n+m,up} c+_{n+m,dn} c_{n,dn} c_{n,up}> (MeasOPDM::measure,
+    impl_meas.cuh:592-645)."""
+    l = sampler.l
+    if not (0 <= n and n + m < l and m >= 0):
+        raise ValueError("(n+m) must be < L and n, m >= 0")
+    work = sampler.work
+    sampler.warm_up(n_warmup)
+
+    @jax.jit
+    def local(spins, lnpsi):
+        s = spins
+        if m == 0:
+            val = 0.25 * (1.0 + s[:, n]) * (1.0 + s[:, l + n])
+            return jnp.mean(val), jnp.zeros(())
+        flipped = s.at[:, jnp.asarray([n, n + m, l + n, l + n + m])].multiply(-1.0)
+        lnpsi1 = engine.log_psi(work, flipped)
+        ratio = cplx.cexp(lnpsi1 - lnpsi)
+        string = jnp.prod(s[:, n + 1 : n + m] * s[:, l + n + 1 : l + n + m], axis=1)
+        coeff = (
+            (1.0 / 16.0)
+            * (1.0 + s[:, n + m])
+            * (1.0 + s[:, l + n + m])
+            * (1.0 - s[:, n])
+            * (1.0 - s[:, l + n])
+            * string
+        )
+        return jnp.mean(coeff * ratio.re), jnp.mean(coeff * ratio.im)
+
+    acc = 0.0 + 0.0j
+    for _ in range(n_iterations):
+        sampler.do_mcmc_steps(n_sweeps)
+        re, im = local(sampler.spins, sampler.lnpsi)
+        acc += complex(float(re), float(im))
+    return acc / n_iterations

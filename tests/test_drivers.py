@@ -1,0 +1,106 @@
+"""Driver smoke tests: train a tiny model through the CLI, then measure it."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neural_network_quantum_state_tpu.drivers import measure, train
+
+
+def test_train_then_measure_roundtrip(tmp_path):
+    res = train.main(
+        [
+            "-model=CH",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=128",
+            "-niter=60",
+            "-nwarm=60",
+            "-lr=2e-2",
+            "-dtype=float64",
+            f"-path={tmp_path}",
+            "-rsd=1e-9",
+        ]
+    )
+    assert len(res) == 1
+    prefix = res[0]["prefix"]
+    assert os.path.exists(prefix)
+    assert os.path.exists(prefix + ".metrics.jsonl")
+    energies = [h["energy"] for h in res[0]["history"]]
+    assert energies[-1] < energies[0]  # descending
+
+    m1, m2, m4 = measure.main(
+        [
+            "-what=smag",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=256",
+            f"-prefix={prefix}",
+            "-niter=10",
+            "-nms=2",
+            "-nwarm=50",
+            "-dtype=float64",
+        ]
+    )
+    assert 0.0 <= m1 <= 1.0 and m2 <= 1.0 and m4 <= 1.0
+
+    s2 = measure.main(
+        [
+            "-what=renyi",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=256",
+            f"-prefix={prefix}",
+            "-l=4",
+            "-niter=10",
+            "-nms=2",
+            "-nwarm=50",
+            "-dtype=float64",
+        ]
+    )
+    assert np.isfinite(s2)
+
+
+def test_train_grid_sweep(tmp_path):
+    res = train.main(
+        [
+            "-model=LICH",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=64",
+            "-niter=10",
+            "-nwarm=20",
+            "-theta=1.8,2.2",
+            "-alpha=2",
+            "-dtype=float64",
+            f"-path={tmp_path}",
+        ]
+    )
+    assert len(res) == 2
+    prefixes = {r["prefix"] for r in res}
+    assert len(prefixes) == 2  # theta encoded in names
+    assert all("T1.8" in p or "T2.2" in p for p in prefixes)
+
+
+def test_train_hubbard_smoke(tmp_path):
+    res = train.main(
+        [
+            "-model=hubbard",
+            "-ansatz=rbm",
+            "-L=3",
+            "-nf=8",
+            "-ns=64",
+            "-niter=15",
+            "-nwarm=30",
+            "-U=4",
+            "-npar=1,1",
+            "-dtype=float64",
+            f"-path={tmp_path}",
+        ]
+    )
+    assert os.path.exists(res[0]["prefix"] + "Dw.dat")

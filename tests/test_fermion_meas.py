@@ -1,0 +1,69 @@
+"""Pair-OPDM estimator vs exact sector-restricted expectation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler, opdm_pair
+from neural_network_quantum_state_tpu.models import RBM
+from neural_network_quantum_state_tpu.ops import cplx, engine
+
+L = 3  # 6 JW spins
+N_UP = N_DN = 2
+
+
+def _exact_opdm(machine, params, n, m):
+    """Exact <Op> over the (N_UP, N_DN) sector: Op matrix built from the
+    estimator's matrix-element convention, psi from full enumeration."""
+    n_in = 2 * L
+    dim = 2**n_in
+    idx = np.arange(dim)
+    bits = (idx[:, None] >> np.arange(n_in)[None, :]) & 1
+    s = 1.0 - 2.0 * bits
+    occ = (1 + s) / 2
+    sector = (occ[:, :L].sum(1) == N_UP) & (occ[:, L:].sum(1) == N_DN)
+
+    all_spins = jnp.asarray(s, jnp.float64)
+    ln = engine.log_psi(machine.make_work(params), all_spins)
+    psi = np.exp(np.asarray(cplx.to_complex(ln)))
+    psi = np.where(sector, psi, 0.0)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+
+    if m == 0:
+        local = 0.25 * (1 + s[:, n]) * (1 + s[:, L + n])
+        return np.sum(p * local)
+    flip_mask = (1 << n) | (1 << (n + m)) | (1 << (L + n)) | (1 << (L + n + m))
+    flipped = idx ^ flip_mask
+    string = np.prod(s[:, n + 1 : n + m] * s[:, L + n + 1 : L + n + m], axis=1)
+    coeff = (
+        (1 / 16)
+        * (1 + s[:, n + m])
+        * (1 + s[:, L + n + m])
+        * (1 - s[:, n])
+        * (1 - s[:, L + n])
+        * string
+    )
+    ratio = np.where(np.abs(psi) > 0, psi[flipped] / np.where(psi == 0, 1.0, psi), 0.0)
+    return np.sum(p * coeff * ratio)
+
+
+def test_opdm_vs_exact():
+    machine = RBM(n_inputs=2 * L, n_hiddens=10, dtype=jnp.float64)
+    params = machine.init_params(jax.random.PRNGKey(4))
+    for n, m in [(0, 0), (0, 1), (0, 2), (1, 1)]:
+        want = _exact_opdm(machine, params, n, m)
+        smp = FermionAmplitudeSampler(machine, params, n_walkers=4096, n_up=N_UP, n_down=N_DN, key=21)
+        got = opdm_pair(smp, n, m, n_iterations=25, n_sweeps=2, n_warmup=150)
+        assert abs(got.real - want.real) < 0.03, (n, m, got, want)
+        assert abs(got.imag - want.imag) < 0.03, (n, m, got, want)
+
+
+def test_fermion_sampler_conserves():
+    machine = RBM(n_inputs=2 * L, n_hiddens=6, dtype=jnp.float64)
+    params = machine.init_params(jax.random.PRNGKey(5))
+    smp = FermionAmplitudeSampler(machine, params, n_walkers=64, n_up=1, n_down=2, key=3)
+    smp.do_mcmc_steps(15)
+    s = np.asarray(smp.spins)
+    assert np.all(((1 + s[:, :L]) / 2).sum(1) == 1)
+    assert np.all(((1 + s[:, L:]) / 2).sum(1) == 2)
