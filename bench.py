@@ -33,15 +33,17 @@ def main():
     state = metropolis.init_state(work, spins, jax.random.PRNGKey(2))
     schedule = jnp.asarray(ham.schedule())
 
+    # fused Pallas sweep (VMEM-resident y across the whole proposal loop);
     # compile + warm up (fetch a value: on remote-dispatch backends
     # block_until_ready can return before execution finishes)
-    state = metropolis.sweeps(work, state, schedule, n_sweeps_per_call)
+    sweep = metropolis.sweeps_fused
+    state = sweep(work, state, schedule, n_sweeps_per_call)
     float(state.lnpsi.re[0])
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        state = metropolis.sweeps(work, state, schedule, n_sweeps_per_call)
+        state = sweep(work, state, schedule, n_sweeps_per_call)
     float(state.lnpsi.re[0])
     dt = time.perf_counter() - t0
 

@@ -90,6 +90,27 @@ def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> 
     )
 
 
+@partial(jax.jit, static_argnames=("n_sweeps", "block_k"))
+def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int = 1024) -> MCState:
+    """Pallas fused-sweep variant of :func:`sweeps` (float32, TPU): the whole
+    multi-sweep proposal loop runs in one kernel with y resident in VMEM
+    (ops.pallas_sweep). Statistically equivalent, different RNG stream."""
+    from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
+
+    key, sub = jax.random.split(state.key)
+    seed = jax.random.randint(sub, (), 0, 2**31 - 1, jnp.int32)
+    cache, lnpsi, n_acc = pallas_sweeps(work, state.cache, state.lnpsi, schedule, seed, n_sweeps, block_k=block_k)
+    n_steps = n_sweeps * schedule.shape[0]
+    k = state.lnpsi.re.shape[0]
+    return MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=state.n_accepted + n_acc,
+        n_proposed=state.n_proposed + jnp.float32(n_steps * k),
+    )
+
+
 def acceptance_ratio(state: MCState) -> tuple[jnp.ndarray, MCState]:
     """Read-and-reset acceptance ratio (impl_mcmc_sampler.hpp:83-90)."""
     ratio = state.n_accepted / jnp.maximum(state.n_proposed, 1.0)
