@@ -40,11 +40,21 @@ _TENSOR_FILES = {
 
 
 def _format_complex_array(z: np.ndarray, precision: int) -> str:
+    from neural_network_quantum_state_tpu.utils import native
+
+    out = native.format_complex_text(z.reshape(-1), precision)
+    if out is not None:
+        return out.rstrip()
     flat = z.reshape(-1)
     return " ".join(f"({v.real:.{precision}g},{v.imag:.{precision}g})" for v in flat)
 
 
 def _parse_complex_text(text: str) -> np.ndarray:
+    from neural_network_quantum_state_tpu.utils import native
+
+    out = native.parse_complex_text(text)
+    if out is not None:
+        return out
     vals = [complex(float(m.group(1)), float(m.group(2))) for m in _COMPLEX_RE.finditer(text)]
     return np.asarray(vals)
 
