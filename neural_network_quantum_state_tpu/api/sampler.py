@@ -87,11 +87,11 @@ class _SamplerBase:
         return np.asarray(self._impl.spins).reshape([-1, self._nInputs])
 
     def get_lnpsi(self) -> np.ndarray:
-        return np.asarray(cplx.to_complex(self._impl.lnpsi))
+        return cplx.to_numpy_complex(self._impl.lnpsi)
 
     def get_lnpsi_for_fixed_spins(self, spinStates) -> np.ndarray:
         spins = np.asarray(spinStates, dtype=self._floatType).reshape([self._nChains, self._nInputs])
-        return np.asarray(cplx.to_complex(self._impl.log_psi(jnp.asarray(spins))))
+        return cplx.to_numpy_complex(self._impl.log_psi(jnp.asarray(spins)))
 
 
 class RBM(_SamplerBase):

@@ -33,12 +33,42 @@ from neural_network_quantum_state_tpu.ops.engine import Cache, Work
 from neural_network_quantum_state_tpu.sampler import schedule as sched
 
 
+_OFFDIAG_CHUNK_ELEMS = 64 * 1024 * 1024  # cap K*chunk*H per flip tensor
+
+
 def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
-    """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) - the N-forward term."""
-    sites = jnp.arange(n_sites, dtype=jnp.int32)
-    lnpsi1 = engine.all_flip_log_psi(work, cache, sites)  # C (K, N)
-    d = C(lnpsi1.re - lnpsi.re[:, None], lnpsi1.im - lnpsi.im[:, None])
-    return cplx.csum(cplx.cexp(d), axis=-1)
+    """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) - the N-forward term.
+
+    The flip tensor is O(K * n * H); for production shapes (N=128, 4096+
+    walkers) that exceeds HBM, so sites are processed in chunks sized to
+    ~64M elements via a scanned site-block loop.
+    """
+    k = cache.spins.shape[0]
+    h = work.w.re.shape[1]
+    chunk = max(1, min(n_sites, _OFFDIAG_CHUNK_ELEMS // max(1, k * h)))
+    if chunk >= n_sites:
+        sites = jnp.arange(n_sites, dtype=jnp.int32)
+        lnpsi1 = engine.all_flip_log_psi(work, cache, sites)  # C (K, N)
+        d = C(lnpsi1.re - lnpsi.re[:, None], lnpsi1.im - lnpsi.im[:, None])
+        return cplx.csum(cplx.cexp(d), axis=-1)
+    n_chunks = -(-n_sites // chunk)
+    # pad the site list so every chunk is full; padded entries contribute 0
+    padded = n_chunks * chunk
+    sites = jnp.arange(padded, dtype=jnp.int32)
+    valid = (sites < n_sites).reshape(n_chunks, chunk)
+    site_blocks = jnp.minimum(sites, n_sites - 1).reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        block, mask = xs
+        lnpsi1 = engine.all_flip_log_psi(work, cache, block)  # C (K, chunk)
+        d = C(lnpsi1.re - lnpsi.re[:, None], lnpsi1.im - lnpsi.im[:, None])
+        e = cplx.cexp(d)
+        m = mask[None, :].astype(e.re.dtype)
+        return carry + C(jnp.sum(e.re * m, axis=-1), jnp.sum(e.im * m, axis=-1)), None
+
+    init = cplx.zeros(k, cache.spins.dtype)
+    total, _ = jax.lax.scan(body, init, (site_blocks, valid))
+    return total
 
 
 class _NeighborTFI(Hamiltonian):

@@ -46,12 +46,14 @@ def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_
     returns (m1, m2, m4) = (<m>, <m^2>, <m^4>)."""
     sampler.warm_up(n_warmup)
     n = sampler.n_inputs
+    rdt = sampler.machine.real_dtype
     if coeff is None:
-        co = C(jnp.ones((n,), sampler.machine.real_dtype), jnp.zeros((n,), sampler.machine.real_dtype))
+        co = C(jnp.ones((n,), rdt), jnp.zeros((n,), rdt))
     elif isinstance(coeff, C):
         co = coeff
     else:
-        co = cplx.from_complex(jnp.asarray(coeff))
+        z = np.asarray(coeff)  # split on host: TPU has no complex dtypes
+        co = C(jnp.asarray(z.real, rdt), jnp.asarray(np.imag(z), rdt))
 
     @jax.jit
     def mag_abs(spins):

@@ -194,6 +194,16 @@ def from_complex(z) -> C:
 
 
 def to_complex(a: C):
+    """Device-side complex array (CPU backend only - TPU has no complex
+    dtypes; use to_numpy_complex on runtime paths)."""
     import jax
 
     return jax.lax.complex(a.re, a.im)
+
+
+def to_numpy_complex(a: C):
+    """Host-side complex numpy array - safe on any backend (fetches the two
+    real planes and combines on the host)."""
+    import numpy as np
+
+    return np.asarray(a.re) + 1j * np.asarray(a.im)

@@ -59,20 +59,26 @@ def _parse_complex_text(text: str) -> np.ndarray:
     return np.asarray(vals)
 
 
+def _host_split(z: np.ndarray, rdtype) -> C:
+    """complex numpy -> split-complex C, splitting on the HOST (a complex
+    jnp.asarray would materialize a complex device array, which TPU lacks)."""
+    return C(jnp.asarray(np.ascontiguousarray(z.real), rdtype), jnp.asarray(np.ascontiguousarray(z.imag), rdtype))
+
+
 def save_reference_text(machine: Machine, params: Params, prefix: str, precision: int = 15) -> list[str]:
     """Write reference-format text checkpoint(s); returns written paths."""
     kind = type(machine).__name__
     written = []
     if kind in _TENSOR_FILES:
         for name, suffix in _TENSOR_FILES[kind].items():
-            z = np.asarray(cplx.to_complex(params[name]))
+            z = cplx.to_numpy_complex(params[name])
             path = prefix + suffix
             with open(path, "w") as f:
                 f.write(_format_complex_array(z, precision) + "\n")
             written.append(path)
     else:
         # symmetric machines: single whole-variables_ file at the prefix
-        vec = np.asarray(cplx.to_complex(machine.flatten_params(params)))
+        vec = cplx.to_numpy_complex(machine.flatten_params(params))
         with open(prefix, "w") as f:
             f.write(_format_complex_array(vec, precision) + "\n")
         written.append(prefix)
@@ -90,12 +96,12 @@ def load_reference_text(machine: Machine, prefix: str) -> Params:
             shape = spec[name]
             if z.size != int(np.prod(shape)):
                 raise ValueError(f"{prefix + suffix}: expected {shape}, got {z.size} values")
-            out[name] = cplx.from_complex(jnp.asarray(z.reshape(shape))).astype(machine.real_dtype)
+            out[name] = _host_split(z.reshape(shape), machine.real_dtype)
         return out
     vec = _parse_complex_text(open(prefix).read())
     if vec.size != machine.n_vars:
         raise ValueError(f"{prefix}: expected {machine.n_vars} values, got {vec.size}")
-    return machine.unflatten_params(cplx.from_complex(jnp.asarray(vec)).astype(machine.real_dtype))
+    return machine.unflatten_params(_host_split(vec, machine.real_dtype))
 
 
 # ---------------------------------------------------------------------------

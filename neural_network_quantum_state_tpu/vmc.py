@@ -54,6 +54,12 @@ class VMCConfig:
     # collapsed walker distribution emit steps of norm 10-30 that can pin
     # the sampler. None disables (exact reference semantics).
     max_dx_norm: Optional[float] = 1.0
+    # >1: run this many SR iterations per device call (lax.scan) - removes
+    # the per-iteration host round trip (the dominant cost on remote/TPU
+    # dispatch for small systems). RSD early stop is checked per chunk.
+    steps_per_host_loop: int = 1
+    # Pallas fused-sweep sampling (f32 RBM-family machines on TPU)
+    use_fused_sweeps: bool = False
     seed: int = 0
 
 
@@ -94,6 +100,13 @@ class VMC:
 
                 return tempering.tempering_sweeps(work, state, self.schedule, n, config.n_beta)
 
+        elif config.use_fused_sweeps:
+            if jnp.dtype(machine.real_dtype) != jnp.float32:
+                raise ValueError("use_fused_sweeps requires a float32 machine")
+
+            def sweep(work, state, n):
+                return metropolis.sweeps_fused(work, state, self.schedule, n)
+
         else:
 
             def sweep(work, state, n):
@@ -129,8 +142,7 @@ class VMC:
         machine, ham, cfg = self.machine, self.hamiltonian, self.config
         mesh = self.mesh
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(params, state: metropolis.MCState, step_idx: jnp.ndarray):
+        def step_body(params, state: metropolis.MCState, step_idx: jnp.ndarray):
             work = machine.make_work(params)
             state = self._sweep(work, state, cfg.n_sweeps_per_step)
             if cfg.n_beta > 1:
@@ -186,6 +198,25 @@ class VMC:
             stats = SRStats(energy=havg, rsd=rsd, cg_iters=cg_iters, lam=lam)
             return new_params, state, stats
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, state, step_idx):
+            return step_body(params, state, step_idx)
+
+        m = cfg.steps_per_host_loop
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, state, step0):
+            def scan_body(carry, i):
+                params, state = carry
+                params, state, stats = step_body(params, state, step0 + i)
+                return (params, state), stats
+
+            (params, state), stats = jax.lax.scan(
+                scan_body, (params, state), jnp.arange(m, dtype=jnp.int32)
+            )
+            return params, state, stats  # stats leaves stacked (m, ...)
+
+        self._multi_step_fn = multi_step
         return step
 
     # ------------------------------------------------------------------
@@ -198,24 +229,41 @@ class VMC:
         verbose: bool = False,
     ):
         """Host-side optimization loop with RSD early stop + NaN guard
-        (gpu optimizer.cuh:134-138, 160-165)."""
+        (gpu optimizer.cuh:134-138, 160-165). With
+        config.steps_per_host_loop > 1, chunks of iterations run as one
+        device call (early stop checked per chunk)."""
         history = []
         t0 = time.perf_counter()
-        for n in range(n_iterations):
-            params, state, stats = self._step_fn(params, state, jnp.asarray(n, jnp.int32))
-            e_re = float(stats.energy.re)
-            rsd = float(stats.rsd)
-            history.append({"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters)})
-            if callback is not None:
-                callback(n, stats)
-            if verbose:
-                print(f"{n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
-            if not jnp.isfinite(e_re):
-                print('# "Havg" has non-value type. We stop here.')
-                break
-            if self.config.rsd_cutoff is not None and rsd < self.config.rsd_cutoff:
+        m = self.config.steps_per_host_loop
+        n = 0
+        stop = False
+        while n < n_iterations and not stop:
+            if m > 1 and n + m <= n_iterations:
+                params, state, stats_stack = self._multi_step_fn(params, state, jnp.asarray(n, jnp.int32))
+                # ONE host transfer for the whole chunk (per-scalar fetches
+                # pay the full dispatch latency each on remote backends)
+                stats_np = jax.device_get(stats_stack)
+                chunk = [jax.tree_util.tree_map(lambda x: x[i], stats_np) for i in range(m)]
+            else:
+                params, state, stats = self._step_fn(params, state, jnp.asarray(n, jnp.int32))
+                chunk = [jax.device_get(stats)]
+            for stats in chunk:
+                e_re = float(stats.energy.re)
+                rsd = float(stats.rsd)
+                history.append({"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters)})
+                if callback is not None:
+                    callback(n, stats)
                 if verbose:
-                    print("# We got a converged solution.")
-                break
+                    print(f"{n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
+                n += 1
+                if not jnp.isfinite(e_re):
+                    print('# "Havg" has non-value type. We stop here.')
+                    stop = True
+                    break
+                if self.config.rsd_cutoff is not None and rsd < self.config.rsd_cutoff:
+                    if verbose:
+                        print("# We got a converged solution.")
+                    stop = True
+                    break
         elapsed = time.perf_counter() - t0
         return params, state, history, elapsed
