@@ -62,6 +62,42 @@ class FFNN(Machine):
         d_dw1o = cplx.clogcosh(cache.y)
         return cplx.concat([d_dwi1.reshape(k, -1), t, d_dw1o], axis=-1)
 
+    # -- hidden-subset training (reference FFNN::partial_backward /
+    #    update_partial_variables, impl_neural_quantum_state.hpp:746-764,
+    #    876-908): freeze all but a chosen set of hidden units ------------
+    def grad_log_partial(self, params: Params, cache: Cache, hidden_nodes) -> C:
+        """O_k restricted to [wi1[:, J], b1[J], w1o[J]] for hidden subset J,
+        flattened in the reference's partial layout (wi1 column-major per
+        node: [wi1_0j0, wi1_1j0, ..., b1_j0, ..., w1o_j0, ...])."""
+        nodes = jnp.asarray(hidden_nodes, jnp.int32)
+        k = cache.spins.shape[0]
+        y_sub = cache.y[:, nodes]
+        w1o_sub = params["w1o"][nodes]
+        t = cplx.ctanh(y_sub) * w1o_sub  # (K, |J|)
+        d_dwi1 = _outer_rs(cache.spins, t)  # (K, N, |J|)
+        # reference partial layout groups per-node columns first
+        d_dwi1 = C(
+            jnp.transpose(d_dwi1.re, (0, 2, 1)).reshape(k, -1),
+            jnp.transpose(d_dwi1.im, (0, 2, 1)).reshape(k, -1),
+        )
+        d_dw1o = cplx.clogcosh(y_sub)
+        return cplx.concat([d_dwi1, t, d_dw1o], axis=-1)
+
+    def update_params_partial(self, params: Params, dx: C, lr: float, hidden_nodes) -> Params:
+        """theta_J <- theta_J - lr * dx for the hidden subset only."""
+        nodes = jnp.asarray(hidden_nodes, jnp.int32)
+        n, nj = self.n_inputs, len(hidden_nodes)
+        dwi1 = dx[: n * nj].reshape(nj, n)  # per-node rows (reference layout)
+        db1 = dx[n * nj : n * nj + nj]
+        dw1o = dx[n * nj + nj :]
+        wi1 = C(
+            params["wi1"].re.at[:, nodes].add(-lr * dwi1.re.T),
+            params["wi1"].im.at[:, nodes].add(-lr * dwi1.im.T),
+        )
+        b1 = C(params["b1"].re.at[nodes].add(-lr * db1.re), params["b1"].im.at[nodes].add(-lr * db1.im))
+        w1o = C(params["w1o"].re.at[nodes].add(-lr * dw1o.re), params["w1o"].im.at[nodes].add(-lr * dw1o.im))
+        return {"wi1": wi1, "b1": b1, "w1o": w1o}
+
 
 @dataclasses.dataclass(frozen=True)
 class FFNNTrSymm(Machine):
