@@ -53,11 +53,14 @@ def cb(n, stats):
     if n % 1000 == 999:
         print(f"iter {n + 1}: E/site = {float(stats.energy.re):+.6f}  rsd = {float(stats.rsd):.3e}",
               flush=True)
-        save_reference_text(machine, cb.params, prefix)
 
 
-cb.params = params
-params, state, hist, el = vmc.run(params, state, niter, callback=cb)
+def ckpt(n, cur_params, cur_state):
+    save_reference_text(machine, cur_params, prefix)
+
+
+params, state, hist, el = vmc.run(params, state, niter, callback=cb,
+                                  checkpoint_fn=ckpt, checkpoint_every=1000)
 save_reference_text(machine, params, prefix)
 e = float(np.mean([x["energy"] for x in hist[-500:]]))
 print(f"converged E/site = {e:.6f} after {len(hist)} iters in {time.time() - t0:.0f}s")

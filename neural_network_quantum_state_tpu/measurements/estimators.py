@@ -130,7 +130,8 @@ def renyi2_entropy(
     n_iterations: int,
     n_sweeps: int = 1,
     n_warmup: int = 100,
-) -> float:
+    return_error: bool = False,
+):
     """S2 = -log Tr rho_A^2 via the swap trick on two independent replicas
     (MeasRenyiEntropy, impl_meas.cuh:57-142): swap sites [l, N) between the
     replicas and average conj(exp(ln3 + ln4 - ln1 - ln2)).
@@ -156,15 +157,25 @@ def renyi2_entropy(
         # conj then accumulate (meas__GetRho2local__): only Re survives the mean
         return jnp.mean(r.re), jnp.mean(-r.im)
 
-    acc_re = acc_im = 0.0
+    vals = []
     for _ in range(n_iterations):
         sampler1.do_mcmc_steps(n_sweeps)
         sampler2.do_mcmc_steps(n_sweeps)
-        re, im = swap_ratio(sampler1.spins, sampler2.spins, sampler1.lnpsi, sampler2.lnpsi)
-        acc_re += float(re)
-        acc_im += float(im)
-    rho2 = acc_re / n_iterations
-    return float(-np.log(rho2))
+        re, _ = swap_ratio(sampler1.spins, sampler2.spins, sampler1.lnpsi, sampler2.lnpsi)
+        vals.append(float(re))
+    tr2 = np.asarray(vals)
+    rho2 = tr2.mean()
+    s2 = float(-np.log(rho2))
+    if return_error:
+        # error bar convention of python/meas_renyi.py:57-58:
+        # err(Tr rho^2) = sqrt(sum (x - mean)^2 / (n (n-1))), propagated
+        # through -log as err/mean
+        if n_iterations > 1:
+            err_tr2 = float(np.sqrt(np.sum((tr2 - rho2) ** 2) / (n_iterations * (n_iterations - 1))))
+        else:
+            err_tr2 = 0.0
+        return s2, err_tr2 / max(rho2, 1e-300)
+    return s2
 
 
 # ---------------------------------------------------------------------------

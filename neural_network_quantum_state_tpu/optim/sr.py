@@ -101,10 +101,16 @@ def sr_cg_solve(
         b = b - a_o_c * cplx.cdot(a_o, a)
         return b + cplx.rscale(lam * diag, a)
 
-    tiny = jnp.finfo(diag.dtype).tiny
+    # Relative floor on the preconditioner diagonal: zero-variance parameter
+    # directions (frozen spins / symmetric cancellations) make diag(S)_i = 0
+    # exactly, and 1/((1+lam)*diag) then explodes the CG search directions
+    # into f32 overflow. The reference divides unguarded
+    # (functor_for_CG.hpp:94-97).
+    floor = 1e-10 * jnp.max(diag) + jnp.finfo(diag.dtype).tiny
+    diag_safe = jnp.maximum(diag, floor)
 
     def precond(r: C) -> C:
-        return cplx.rscale(1.0 / ((1.0 + lam) * jnp.maximum(diag, tiny)), r)
+        return cplx.rscale(1.0 / ((1.0 + lam) * diag_safe), r)
 
     res = cg_solve(matvec, f, precond=precond, tol=tol, max_iters=max_iters)
     return res.x, res

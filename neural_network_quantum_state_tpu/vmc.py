@@ -178,7 +178,11 @@ class VMC:
                 # needed, letting the solve emit an unbounded step that can
                 # pin the sampler. Cap ||dx||.
                 dx_norm = jnp.sqrt(cplx.norm2(dx))
-                scale = jnp.minimum(1.0, cfg.max_dx_norm / jnp.maximum(dx_norm, 1e-30))
+                scale = jnp.where(
+                    jnp.isfinite(dx_norm),
+                    jnp.minimum(1.0, cfg.max_dx_norm / jnp.maximum(dx_norm, 1e-30)),
+                    0.0,  # non-finite solve -> skip the update entirely
+                )
                 dx = dx * scale.astype(dx.re.dtype)
             # Guards: freeze the update if <H> went non-finite (reference
             # NaN guard, gpu optimizer.cuh:134-138), or if the energy
@@ -227,6 +231,8 @@ class VMC:
         n_iterations: int,
         callback: Optional[Callable[[int, SRStats], None]] = None,
         verbose: bool = False,
+        checkpoint_fn: Optional[Callable[[int, Any, Any], None]] = None,
+        checkpoint_every: int = 100,  # reference nrec (gpu optimizer.cuh:153)
     ):
         """Host-side optimization loop with RSD early stop + NaN guard
         (gpu optimizer.cuh:134-138, 160-165). With
@@ -237,6 +243,7 @@ class VMC:
         m = self.config.steps_per_host_loop
         n = 0
         stop = False
+        prev_acc, prev_prop = 0.0, 0.0
         while n < n_iterations and not stop:
             if m > 1 and n + m <= n_iterations:
                 params, state, stats_stack = self._multi_step_fn(params, state, jnp.asarray(n, jnp.int32))
@@ -247,10 +254,22 @@ class VMC:
             else:
                 params, state, stats = self._step_fn(params, state, jnp.asarray(n, jnp.int32))
                 chunk = [jax.device_get(stats)]
+            # acceptance ratio over this chunk (CPU-stack parity:
+            # optimizer.hpp:73 prints it per iteration)
+            na, np_ = jax.device_get((state.n_accepted, state.n_proposed))
+            acc = float(na - prev_acc) / max(float(np_ - prev_prop), 1.0)
+            prev_acc, prev_prop = float(na), float(np_)
+            if checkpoint_fn is not None and (n + len(chunk)) // checkpoint_every > n // checkpoint_every:
+                # periodic save with the CURRENT (live, undonated) params -
+                # references captured before run() are invalidated by buffer
+                # donation inside the jitted step
+                checkpoint_fn(n + len(chunk), params, state)
             for stats in chunk:
                 e_re = float(stats.energy.re)
                 rsd = float(stats.rsd)
-                history.append({"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters)})
+                history.append(
+                    {"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters), "acceptance": acc}
+                )
                 if callback is not None:
                     callback(n, stats)
                 if verbose:
