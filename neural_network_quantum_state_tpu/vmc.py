@@ -143,8 +143,11 @@ class VMC:
         mesh = self.mesh
 
         def step_body(params, state: metropolis.MCState, step_idx: jnp.ndarray):
-            work = machine.make_work(params)
-            state = self._sweep(work, state, cfg.n_sweeps_per_step)
+            # named scopes: per-phase visibility in jax.profiler traces
+            # (reference tracing is wall-clock-only, SURVEY.md 5)
+            with jax.named_scope("sample"):
+                work = machine.make_work(params)
+                state = self._sweep(work, state, cfg.n_sweeps_per_step)
             if cfg.n_beta > 1:
                 # estimators read only the beta=1 replicas (replica-minor
                 # layout: strided slice; reference impl_mcmc_sampler.hpp:193)
@@ -152,9 +155,11 @@ class VMC:
                 est_lnpsi = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.lnpsi)
             else:
                 est_cache, est_lnpsi = state.cache, state.lnpsi
-            htilda = ham.local_energy(work, est_cache, est_lnpsi)
-            o_mat = machine.grad_log(params, est_cache)
-            o_mat = meshlib.constrain_walkers(o_mat, mesh)
+            with jax.named_scope("local_energy"):
+                htilda = ham.local_energy(work, est_cache, est_lnpsi)
+            with jax.named_scope("grad_log"):
+                o_mat = machine.grad_log(params, est_cache)
+                o_mat = meshlib.constrain_walkers(o_mat, mesh)
             havg, rsd = energy_and_rsd(htilda)
             lam = lambda_schedule(step_idx, dtype=machine.real_dtype)
             cg_iters = jnp.zeros((), jnp.int32)
