@@ -43,6 +43,11 @@ class HubbardChain(Hamiltonian):
     t: float = 1.0
     n_up: int = 0
     n_down: int = 0
+    # CPU-reference mode: total particle count scattered over all 2L inputs
+    # (HubbardChain::initialize, cpu impl_hamiltonians.hpp:1344-1360);
+    # overrides (n_up, n_down) when set - pair with per_flavor_rings=False
+    # so exchange moves conserve only the total.
+    n_particles: Optional[int] = None
     pbc: bool = True
     v: Optional[tuple] = None  # length-2L site potential, or None
     per_flavor_rings: bool = True  # gpu mChainLattice vs cpu single ring
@@ -76,8 +81,17 @@ class HubbardChain(Hamiltonian):
 
     def init_spins(self, key: jax.Array, n_walkers: int, dtype=jnp.float32) -> jnp.ndarray:
         """Random placement of n_up particles in [0,L) and n_down in [L,2L)
-        per walker (GPU initialize_ with np counts)."""
+        per walker (GPU initialize_ with np counts), or n_particles over all
+        2L inputs (CPU-reference mode)."""
         l = self.l
+
+        if self.n_particles is not None:
+
+            def one_total(k):
+                filled = jnp.where(jnp.arange(2 * l) < self.n_particles, 1.0, -1.0)
+                return jax.random.permutation(k, filled).astype(dtype)
+
+            return jax.vmap(one_total)(jax.random.split(key, n_walkers))
 
         def one(k):
             ku, kd = jax.random.split(k)

@@ -105,6 +105,33 @@ class RBM(Machine):
         d_da = C(s, jnp.zeros_like(s))
         return cplx.concat([d_dw.reshape(k, -1), d_da, t], axis=-1)
 
+    # -- hidden-subset training (RBM::update_partial_variables /
+    #    partial_backward, impl_neural_quantum_state.hpp:85-130, 206-231):
+    #    layout [a (all N), b_J, w_{i,J} row-major over i] -----------------
+    def grad_log_partial(self, params: Params, cache: Cache, hidden_nodes) -> C:
+        nodes = jnp.asarray(hidden_nodes, jnp.int32)
+        k = cache.spins.shape[0]
+        s = cache.spins
+        t = cplx.ctanh(cache.y[:, nodes])  # (K, |J|)
+        d_da = C(s, jnp.zeros_like(s))
+        d_dw = _outer_rs(s, t)  # (K, N, |J|)
+        return cplx.concat([d_da, t, d_dw.reshape(k, -1)], axis=-1)
+
+    def update_params_partial(self, params: Params, dx: C, lr: float, hidden_nodes) -> Params:
+        nodes = jnp.asarray(hidden_nodes, jnp.int32)
+        n, nj = self.n_inputs, len(hidden_nodes)
+        da = dx[:n]
+        db = dx[n : n + nj]
+        dw = dx[n + nj :].reshape(n, nj)
+        return {
+            "a": params["a"] - da * lr,
+            "b": C(params["b"].re.at[nodes].add(-lr * db.re), params["b"].im.at[nodes].add(-lr * db.im)),
+            "w": C(
+                params["w"].re.at[:, nodes].add(-lr * dw.re),
+                params["w"].im.at[:, nodes].add(-lr * dw.im),
+            ),
+        }
+
 
 @dataclasses.dataclass(frozen=True)
 class RBMTrSymm(Machine):

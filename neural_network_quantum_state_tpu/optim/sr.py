@@ -145,6 +145,35 @@ def sr_dense_solve(
     return solver(s, f)
 
 
+def sr_dense_solve_accumulated(samples: list[tuple[C, C]], lam: jnp.ndarray, solver: Callable[[C, C], C]) -> C:
+    """Dense SR with accumulation over multiple sampling rounds
+    (StochasticReconfiguration::propagate naccumulation loop,
+    optimizer.hpp:37-57): S, F, aO averaged over rounds before the solve."""
+    n_acc = len(samples)
+    k = samples[0][0].re.shape[0]
+    v = samples[0][0].re.shape[1]
+    s_sum = cplx.zeros((v, v), samples[0][0].dtype)
+    f_sum = cplx.zeros((v,), samples[0][0].dtype)
+    a_sum = cplx.zeros((v,), samples[0][0].dtype)
+    h_sum = cplx.zeros((), samples[0][0].dtype)
+    for o_mat, htilda in samples:
+        s_sum = s_sum + cplx.matmul_conj_t_c(o_mat, o_mat) * (1.0 / (k * n_acc))
+        a_sum = a_sum + cplx.cmean(o_mat, axis=0) * (1.0 / n_acc)
+        havg = cplx.cmean(htilda)
+        h_sum = h_sum + havg * (1.0 / n_acc)
+        t_re = (htilda.re @ o_mat.re + htilda.im @ o_mat.im) / (k * n_acc)
+        t_im = (htilda.im @ o_mat.re - htilda.re @ o_mat.im) / (k * n_acc)
+        f_sum = f_sum + C(t_re, t_im)
+    # rank-1 and cross terms with the ROUND-AVERAGED aO / <E>
+    r1_re = a_sum.re[:, None] * a_sum.re[None, :] + a_sum.im[:, None] * a_sum.im[None, :]
+    r1_im = a_sum.re[:, None] * a_sum.im[None, :] - a_sum.im[:, None] * a_sum.re[None, :]
+    s = s_sum - C(r1_re, r1_im)
+    f = f_sum - h_sum * cplx.conj(a_sum)
+    eye = jnp.eye(s.re.shape[0], dtype=s.re.dtype)
+    s = C(s.re + lam.astype(s.re.dtype) * eye * jnp.diagonal(s.re), s.im)
+    return solver(s, f)
+
+
 def sgd_diag_solve(o_mat: C, htilda: C, lam: jnp.ndarray) -> C:
     """Diagonal-S-only variant (StochasticGradientDescent,
     optimizer.hpp:92-156): dx_i = F_i / ((1+lambda) * S_ii)."""

@@ -43,6 +43,9 @@ from neural_network_quantum_state_tpu.sampler import metropolis
 class VMCConfig:
     n_walkers: int = 1024
     n_sweeps_per_step: int = 1  # reference "nms"
+    # dense-solver only: accumulate S/F over this many sampling rounds per
+    # iteration (reference "naccumulation", optimizer.hpp:37-57)
+    n_accumulations: int = 1
     learning_rate: float = 1e-2  # reference "lr" / deltaTau
     solver: str = "cg"  # cg | lu | cholesky | svd | sgd
     cg_tol: float = 1e-5  # gpu impl_optimizer.cuh:60
@@ -83,6 +86,11 @@ class VMC:
         # parallel tempering (config.n_beta > 1)
         if config.n_beta > 1 and config.n_walkers % config.n_beta != 0:
             raise ValueError("n_walkers must be a multiple of n_beta")
+        if config.n_accumulations > 1:
+            if config.solver not in ("lu", "cholesky", "svd"):
+                raise ValueError("n_accumulations > 1 requires a dense solver (reference parity)")
+            if config.n_beta > 1:
+                raise NotImplementedError("accumulated dense SR + parallel tempering")
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
             if config.n_beta > 1:
                 raise NotImplementedError("parallel tempering + exchange sampler")
@@ -173,6 +181,17 @@ class VMC:
                 cg_iters = res.iterations
             elif cfg.solver == "sgd":
                 dx = sgd_diag_solve(o_mat, htilda, lam)
+            elif cfg.n_accumulations > 1:
+                from neural_network_quantum_state_tpu.optim.sr import sr_dense_solve_accumulated
+
+                samples = [(o_mat, htilda)]
+                for _ in range(cfg.n_accumulations - 1):
+                    state = self._sweep(work, state, cfg.n_sweeps_per_step)
+                    ht_r = ham.local_energy(work, state.cache, state.lnpsi)
+                    om_r = meshlib.constrain_walkers(machine.grad_log(params, state.cache), mesh)
+                    samples.append((om_r, ht_r))
+                dx = sr_dense_solve_accumulated(samples, lam, dense_solvers.SOLVERS[cfg.solver])
+                havg, rsd = energy_and_rsd(cplx.concat([h for _, h in samples], axis=0))
             else:
                 dx = sr_dense_solve(o_mat, htilda, lam, dense_solvers.SOLVERS[cfg.solver])
             if cfg.max_dx_norm is not None:
