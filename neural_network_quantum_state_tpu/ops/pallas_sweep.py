@@ -40,16 +40,39 @@ _LN2 = 0.6931471805599453
 _INV24 = float(2.0**-24)
 
 
+_INV_2PI = 0.15915494309189535
+
+
+def _fast_cos(x):
+    """Polynomial cosine (|err| < 1e-7 in f32): range-reduce to one period
+    via t = frac(x/2pi + 1/2) - 1/2, then a degree-14 even minimax
+    polynomial. The VPU's library cos dominated the sweep kernel (~50% of
+    its time by ablation); this is several times cheaper.
+    """
+    t = x * _INV_2PI + 0.5
+    t = t - jnp.floor(t) - 0.5  # [-0.5, 0.5], cos(2 pi t) == cos(x)
+    u = t * t
+    p = jnp.float32(-1.4609357670)
+    p = p * u + jnp.float32(7.8065988323)
+    p = p * u + jnp.float32(-26.406758113)
+    p = p * u + jnp.float32(60.242464258)
+    p = p * u + jnp.float32(-85.456685347)
+    p = p * u + jnp.float32(64.939390112)
+    p = p * u + jnp.float32(-19.739208758)
+    p = p * u + jnp.float32(0.99999999992)
+    return p
+
+
 def _logcosh_re(x, y):
     """Re ln cosh(x+iy) only (stable; no atan2 - Mosaic can't lower it).
 
     |cosh z|^2 identity: (1+e)^2 cos^2 y + (1-e)^2 sin^2 y =
     1 + e^2 + 2 e cos(2y) with e = exp(-2|x|) - 3 transcendentals per
-    element (exp, cos, log) instead of 4.
+    element (exp, polynomial cos, log) instead of 4.
     """
     absx = jnp.abs(x)
     e = jnp.exp(-2.0 * absx)
-    mag2 = 1.0 + e * e + 2.0 * e * jnp.cos(2.0 * y)
+    mag2 = 1.0 + e * e + 2.0 * e * _fast_cos(2.0 * y)
     return 0.5 * jnp.log(mag2) + (absx - _LN2)
 
 
