@@ -57,6 +57,8 @@ OPTIONS = [
     ("ifprefix", "warm-start checkpoint prefix ('None' = cold)"),
     ("dtype", "float32 | float64"),
     ("pbc", "periodic boundary (1/0)"),
+    ("mloop", "SR iterations per device call (latency amortization)"),
+    ("fused", "use the fused Pallas sweep kernel (1/0, f32 RBM family)"),
 ]
 DEFAULTS = {
     "theta": "0",
@@ -78,6 +80,8 @@ DEFAULTS = {
     "ifprefix": "None",
     "dtype": "float32",
     "pbc": "1",
+    "mloop": "25",
+    "fused": "0",
 }
 
 
@@ -112,6 +116,8 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
         solver=args.find("solver"),
         rsd_cutoff=args.find("rsd", float),
         n_beta=args.find("nbeta", int),
+        steps_per_host_loop=args.find("mloop", int),
+        use_fused_sweeps=bool(args.find("fused", int)),
         seed=args.find("seed", int),
     )
     vmc = nqs.VMC(machine, ham, cfg)
