@@ -18,9 +18,6 @@ bookkeeping, so only seedNumber enters the key.
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ hyperparameter sweeps and file-naming schemes
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from neural_network_quantum_state_tpu.hamiltonians import (

@@ -147,7 +147,21 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
     return {"prefix": prefix, "history": history, "params": params, "machine": machine}
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache (remote TPU compiles take minutes for
+    the big scanned training graphs; reruns then start instantly)."""
+    import os
+
+    cache_dir = os.environ.get("NQS_COMPILE_CACHE", os.path.expanduser("~/.cache/nqs_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="train")
     print(args.banner())
     model = args.find("model").lower()

@@ -9,7 +9,7 @@ exactly; citations on each function.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

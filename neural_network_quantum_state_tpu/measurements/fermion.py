@@ -17,8 +17,6 @@ where flip negates sites n and n+m in both flavor sectors.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -65,8 +65,13 @@ def _host_split(z: np.ndarray, rdtype) -> C:
     return C(jnp.asarray(np.ascontiguousarray(z.real), rdtype), jnp.asarray(np.ascontiguousarray(z.imag), rdtype))
 
 
-def save_reference_text(machine: Machine, params: Params, prefix: str, precision: int = 15) -> list[str]:
-    """Write reference-format text checkpoint(s); returns written paths."""
+def save_reference_text(machine: Machine, params: Params, prefix: str, precision: int | None = None) -> list[str]:
+    """Write reference-format text checkpoint(s); returns written paths.
+
+    Default precision follows FloatTypeTrait_ (cpu common.hpp:40-42):
+    8 digits for float32 machines, 15 for float64."""
+    if precision is None:
+        precision = 8 if jnp.dtype(machine.real_dtype) == jnp.float32 else 15
     kind = type(machine).__name__
     written = []
     if kind in _TENSOR_FILES:

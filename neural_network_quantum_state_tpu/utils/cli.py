@@ -8,7 +8,6 @@ LICH-train_rbmtrsymm.cu:82-108)."""
 
 from __future__ import annotations
 
-import sys
 from typing import Sequence
 
 
