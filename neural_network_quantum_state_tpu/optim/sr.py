@@ -139,10 +139,20 @@ def sr_dense_solve(
     real 2Vx2V embedding of the Hermitian system (optim.solvers)."""
     f, a_o = force_vector(o_mat, htilda)
     s = build_s_matrix(o_mat, a_o)
+    s = _regularize_dense(s, lam)
+    return solver(s, f)
+
+
+def _regularize_dense(s: C, lam) -> C:
+    """S_ii *= (1+lambda) (optimizer.hpp:58-62) plus a tiny absolute ridge:
+    exact-zero diagonal rows (zero-variance parameter directions, e.g. a
+    frozen visible bias) make the scaled matrix exactly singular and
+    Cholesky/LU produce NaN - the reference's BKF would also fail there."""
     v = s.re.shape[0]
     eye = jnp.eye(v, dtype=s.re.dtype)
-    s = C(s.re + lam.astype(s.re.dtype) * eye * jnp.diagonal(s.re), s.im)
-    return solver(s, f)
+    diag = jnp.diagonal(s.re)
+    ridge = 1e-7 * jnp.max(diag) + jnp.finfo(s.re.dtype).tiny
+    return C(s.re + eye * (lam.astype(s.re.dtype) * diag + ridge), s.im)
 
 
 def sr_dense_solve_accumulated(samples: list[tuple[C, C]], lam: jnp.ndarray, solver: Callable[[C, C], C]) -> C:
@@ -169,8 +179,7 @@ def sr_dense_solve_accumulated(samples: list[tuple[C, C]], lam: jnp.ndarray, sol
     r1_im = a_sum.re[:, None] * a_sum.im[None, :] - a_sum.im[:, None] * a_sum.re[None, :]
     s = s_sum - C(r1_re, r1_im)
     f = f_sum - h_sum * cplx.conj(a_sum)
-    eye = jnp.eye(s.re.shape[0], dtype=s.re.dtype)
-    s = C(s.re + lam.astype(s.re.dtype) * eye * jnp.diagonal(s.re), s.im)
+    s = _regularize_dense(s, lam)
     return solver(s, f)
 
 

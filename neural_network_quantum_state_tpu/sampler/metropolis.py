@@ -111,6 +111,61 @@ def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: in
     )
 
 
+def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool = False):
+    """Multi-chip fused sweeps: the Pallas kernel runs per-device on the
+    local walker shard under shard_map (a pallas_call under plain pjit
+    cannot be partitioned by XLA). Weights replicate; each device's kernel
+    grid covers only its shard; per-device PRNG seeds are decorrelated with
+    the mesh axis index; acceptance counts psum over the mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
+
+    w_spec = P(axis_name)
+
+    def sweeps_fn(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> MCState:
+        def local_body(work, cache, lnpsi, sched, seed):
+            dev_seed = seed[0] + jax.lax.axis_index(axis_name) * jnp.int32(7919)
+            block_k = min(1024, cache.spins.shape[0])
+            cache, lnpsi, n_acc = pallas_sweeps(
+                work, cache, lnpsi, sched, dev_seed, n_sweeps, block_k=block_k, interpret=interpret
+            )
+            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
+
+        key, sub = jax.random.split(state.key)
+        seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+        state_specs = Cache(spins=w_spec, y=C(w_spec, w_spec), sa=C(w_spec, w_spec))
+        ln_specs = C(w_spec, w_spec)
+        repl = P()
+        work_specs = jax.tree_util.tree_map(lambda _: repl, work)
+        mapped = shard_map(
+            local_body,
+            mesh=mesh,
+            in_specs=(work_specs, state_specs, ln_specs, repl, repl),
+            out_specs=(state_specs, ln_specs, repl),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+        cache, lnpsi, n_acc = mapped(work, state.cache, state.lnpsi, jnp.asarray(schedule, jnp.int32), seed)
+        n_steps = n_sweeps * schedule.shape[0]
+        k = state.lnpsi.re.shape[0]
+        return MCState(
+            cache=cache,
+            lnpsi=lnpsi,
+            key=key,
+            n_accepted=state.n_accepted + n_acc[0],
+            n_proposed=state.n_proposed + jnp.float32(n_steps * k),
+        )
+
+    return sweeps_fn
+
+
 def acceptance_ratio(state: MCState) -> tuple[jnp.ndarray, MCState]:
     """Read-and-reset acceptance ratio (impl_mcmc_sampler.hpp:83-90)."""
     ratio = state.n_accepted / jnp.maximum(state.n_proposed, 1.0)

@@ -111,9 +111,19 @@ class VMC:
         elif config.use_fused_sweeps:
             if jnp.dtype(machine.real_dtype) != jnp.float32:
                 raise ValueError("use_fused_sweeps requires a float32 machine")
+            if mesh is not None:
+                # per-device Pallas kernels under shard_map (a pallas_call
+                # cannot be partitioned by pjit alone)
+                interp = mesh.devices.ravel()[0].platform == "cpu"
+                fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=interp)
 
-            def sweep(work, state, n):
-                return metropolis.sweeps_fused(work, state, self.schedule, n)
+                def sweep(work, state, n):
+                    return fused(work, state, self.schedule, n)
+
+            else:
+
+                def sweep(work, state, n):
+                    return metropolis.sweeps_fused(work, state, self.schedule, n)
 
         else:
 
