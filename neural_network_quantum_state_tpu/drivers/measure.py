@@ -5,7 +5,7 @@
         -prefix=./runs/RBMTrSymmLICH-L32NF4A2T2V1 -l=16 -niter=500
 
 what: energy-free estimators over a trained checkpoint -
-  renyi | fidelity | smag | neel | zz | xx | overlap
+  renyi | fidelity | smag | stag | neel | zz | xx | overlap
 (fidelity/overlap compare -prefix against -prefix2.)
 """
 
@@ -22,6 +22,7 @@ from neural_network_quantum_state_tpu.measurements import (
     AmplitudeSampler,
     fidelity,
     neel_order,
+    order_parameter,
     overlap_integral,
     renyi2_entropy,
     spin_x_correlation,
@@ -32,7 +33,7 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "renyi | fidelity | smag | neel | zz | xx | overlap"),
+    ("what", "renyi | fidelity | smag | stag | neel | zz | xx | overlap"),
     ("ansatz", "machine family of the checkpoint"),
     ("L", "# of machine inputs"),
     ("nf", "# of hidden units / filters"),
@@ -94,6 +95,14 @@ def main(argv=None):
     if what == "smag":
         m1, m2, m4 = spontaneous_magnetization(make_sampler(seed), niter, nms, nwarm)
         print(f"# m1={m1:.6f} m2={m2:.6f} m4={m4:.6f}")
+        return m1, m2, m4
+    if what == "stag":
+        # staggered magnetization m_s = (1/N) sum_i (-1)^i s_i - the AFM
+        # chain's order parameter (the reference paper's headline observable)
+        coeff = jnp.asarray(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), dtype)
+        m1, m2, m4 = order_parameter(make_sampler(seed), coeff, niter, nms, nwarm)
+        binder = 1.0 - m4 / (3.0 * m2 * m2)
+        print(f"# stag m1={m1:.6f} m2={m2:.6f} m4={m4:.6f} binder={binder:.6f}")
         return m1, m2, m4
     if what == "neel":
         side = int(round(n**0.5))

@@ -1,6 +1,11 @@
 from neural_network_quantum_state_tpu.optim import cg, minres, solvers, sr
 from neural_network_quantum_state_tpu.optim.cg import CGResult, cg_solve
-from neural_network_quantum_state_tpu.optim.minres import MinresResult, minres_solve, sr_minres_solve
+from neural_network_quantum_state_tpu.optim.minres import (
+    MinresResult,
+    minres_qlp_solve,
+    minres_solve,
+    sr_minres_solve,
+)
 from neural_network_quantum_state_tpu.optim.sr import (
     SRStats,
     energy_and_rsd,

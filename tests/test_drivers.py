@@ -47,6 +47,22 @@ def test_train_then_measure_roundtrip(tmp_path):
     )
     assert 0.0 <= m1 <= 1.0 and m2 <= 1.0 and m4 <= 1.0
 
+    m1, m2, m4 = measure.main(
+        [
+            "-what=stag",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=256",
+            f"-prefix={prefix}",
+            "-niter=10",
+            "-nms=2",
+            "-nwarm=50",
+            "-dtype=float64",
+        ]
+    )
+    assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0 and 0.0 <= m4 <= 1.0
+
     s2 = measure.main(
         [
             "-what=renyi",
