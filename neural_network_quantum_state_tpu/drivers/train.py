@@ -45,6 +45,7 @@ OPTIONS = [
     ("U", "hubbard only: onsite interaction"),
     ("t", "hubbard only: hopping"),
     ("npar", "hubbard only: n_up,n_down"),
+    ("trap", "hubbard only: harmonic-trap strength V (V*(i-(L-1)/2)^2, 0 = off)"),
     ("ver", "version tag (comma list)"),
     ("nwarm", "# of warm-up sweeps"),
     ("nms", "# of sweeps per SR iteration"),
@@ -68,6 +69,7 @@ DEFAULTS = {
     "U": "4",
     "t": "1",
     "npar": "1,1",
+    "trap": "0",
     "ver": "1",
     "nwarm": "500",
     "nms": "1",
@@ -99,6 +101,13 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
     elif model == "hubbard":
         n_up, n_down = args.mfind("npar", int)
         ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
+        trap = args.find("trap", float)
+        if trap != 0.0:
+            # harmonic trap V(i) = trap*(i-(L-1)/2)^2, same on both spin
+            # flavors (generate_harmonic_potential,
+            # fermi_hubbard_CH-train_rbm.cu:117-128)
+            centered = np.arange(l) - (l - 1.0) / 2.0
+            ham_kw.update(v=tuple(np.tile(trap * centered**2, 2)))
         prefix_kw.update(u=args.find("U", float))
     elif model == "cb":
         ham_kw.update(h=args.find("h", float), j1=args.find("J", float))

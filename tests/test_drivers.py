@@ -120,3 +120,29 @@ def test_train_hubbard_smoke(tmp_path):
         ]
     )
     assert os.path.exists(res[0]["prefix"] + "Dw.dat")
+
+
+def test_train_hubbard_with_trap(tmp_path):
+    """Hubbard CLI path incl. the harmonic-trap option
+    (fermi_hubbard_CH-train_rbm.cu:117-128)."""
+    res = train.main(
+        [
+            "-model=hubbard",
+            "-ansatz=rbm",
+            "-L=4",
+            "-nf=8",
+            "-ns=128",
+            "-niter=15",
+            "-nwarm=40",
+            "-npar=1,1",
+            "-U=4",
+            "-trap=0.5",
+            "-lr=1e-2",
+            "-dtype=float64",
+            f"-path={tmp_path}",
+            "-rsd=1e-9",
+        ]
+    )
+    assert len(res) == 1
+    energies = [h["energy"] for h in res[0]["history"]]
+    assert np.isfinite(energies).all()
