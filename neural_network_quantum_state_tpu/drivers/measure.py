@@ -46,6 +46,8 @@ OPTIONS = [
     ("nwarm", "# of warm-up sweeps"),
     ("seed", "RNG seed"),
     ("dtype", "float32 | float64"),
+    ("init", "walker start: random | neel (ordered states can be metastable - "
+             "near criticality the two inits bound the estimator from both sectors)"),
 ]
 DEFAULTS = {
     "prefix2": "None",
@@ -55,6 +57,7 @@ DEFAULTS = {
     "nwarm": "300",
     "seed": "0",
     "dtype": "float32",
+    "init": "random",
 }
 
 
@@ -70,8 +73,13 @@ def main(argv=None):
     machine = build_machine(args.find("ansatz").lower(), n, nf, dtype)
     params = load_reference_text(machine, args.find("prefix"))
 
+    init_spins = None
+    if args.find("init").lower() == "neel":
+        neel_row = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+        init_spins = jnp.asarray(np.tile(neel_row, (ns, 1)), dtype)
+
     def make_sampler(key):
-        return AmplitudeSampler(machine, params, ns, key=key)
+        return AmplitudeSampler(machine, params, ns, key=key, init_spins=init_spins)
 
     if what == "renyi":
         s1, s2 = make_sampler(seed), make_sampler(seed + 987654321)

@@ -45,6 +45,24 @@ def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
     """
     k = cache.spins.shape[0]
     h = work.w.re.shape[1]
+    if (
+        cache.spins.dtype == jnp.float32
+        and work.c is None
+        and jax.devices()[0].platform != "cpu"
+    ):
+        # fused Pallas path: VMEM-resident walker blocks, polynomial
+        # cos/sin logcosh - measured 6.5 ms vs 7.7 ms for the XLA path at
+        # N=64/H=256/K=8192 on v5e, with equal (1.2e-4 vs f64) accuracy.
+        # Walker block sized so each (BK, H) temporary stays ~1 MB of VMEM.
+        bk_cap = max(128, (256 * 1024) // max(1, h))
+        block_k = next((b for b in (1024, 512, 256, 128) if b <= bk_cap and k % b == 0), None)
+        if block_k is not None or k <= bk_cap:
+            from neural_network_quantum_state_tpu.ops.pallas_energy import pallas_offdiag_sum
+
+            return pallas_offdiag_sum(
+                work, cache, lnpsi, np.arange(n_sites, dtype=np.int32),
+                block_k=block_k or k,
+            )
     chunk = max(1, min(n_sites, _OFFDIAG_CHUNK_ELEMS // max(1, k * h)))
     if chunk >= n_sites:
         sites = jnp.arange(n_sites, dtype=jnp.int32)

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_network_quantum_state_tpu.ops import cplx
 from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+from neural_network_quantum_state_tpu.ops.fastmath import fast_cos, fast_sin
 
 _LN2 = 0.6931471805599453
 _PI = 3.141592653589793
@@ -62,12 +63,17 @@ def _atan2(b, a):
 
 
 def _logcosh_both(x, y):
-    """(Re, Im) of ln cosh(x+iy), stable, atan2-free Mosaic ops only."""
+    """(Re, Im) of ln cosh(x+iy), stable, atan2-free Mosaic ops only.
+
+    cos/sin are the polynomial ops.fastmath versions (TPU's library
+    versions pay full Payne-Hanek range reduction; measured 2.1x on the
+    analogous sweep kernel); exp/log stay native - the VPU lowers them
+    near-free and polynomial replacements measured slower."""
     absx = jnp.abs(x)
     sgn = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
     e = jnp.exp(-2.0 * absx)
-    wre = (1.0 + e) * jnp.cos(y)
-    wim = (1.0 - e) * jnp.sin(y) * sgn
+    wre = (1.0 + e) * fast_cos(y)
+    wim = (1.0 - e) * fast_sin(y) * sgn
     re = 0.5 * jnp.log(wre * wre + wim * wim) + (absx - _LN2)
     im = _atan2(wim, wre)
     return re, im
@@ -84,14 +90,20 @@ def _energy_kernel(
     yim_ref,  # (BK, H)
     sare_ref,
     saim_ref,  # (BK, 1)
-    lnre_ref,
-    lnim_ref,  # (BK, 1)
     ore_ref,
     oim_ref,  # (BK, 1) outputs: sum_i exp(ln1_i - ln0)
 ):
     n_sites = sched_ref.shape[0]
     ore_ref[:] = jnp.zeros_like(ore_ref)
     oim_ref[:] = jnp.zeros_like(oim_ref)
+    # ln psi_0 recomputed IN-KERNEL (one amortized (BK,H) pass) rather than
+    # taken from the XLA-computed lnpsi input: the ratio ln1 - ln0 must mix
+    # a single logcosh implementation, else the TPU library-vs-polynomial
+    # transcendental difference accumulates over H without cancelling
+    # (observed 7e-4 -> 4e-5 relative on the N=64 off-diagonal sum).
+    l0re, l0im = _logcosh_both(yre_ref[:], yim_ref[:])
+    ln0re = jnp.sum(l0re, axis=1, keepdims=True) + sare_ref[:]
+    ln0im = jnp.sum(l0im, axis=1, keepdims=True) + saim_ref[:]
 
     def body(t, _):
         site = sched_ref[t]
@@ -106,8 +118,8 @@ def _energy_kernel(
         ln1im = jnp.sum(lyim, axis=1, keepdims=True)
         ar = are_ref[pl.ds(site, 1), :]
         ai = aim_ref[pl.ds(site, 1), :]
-        dre = ln1re + sare_ref[:] - two_s * ar - lnre_ref[:]
-        dim = ln1im + saim_ref[:] - two_s * ai - lnim_ref[:]
+        dre = ln1re + sare_ref[:] - two_s * ar - ln0re
+        dim = ln1im + saim_ref[:] - two_s * ai - ln0im
         mag = jnp.exp(dre)
         ore_ref[:] = ore_ref[:] + mag * jnp.cos(dim)
         oim_ref[:] = oim_ref[:] + mag * jnp.sin(dim)
@@ -129,7 +141,11 @@ def pallas_offdiag_sum(
 
     Drop-in fused replacement for the XLA chunked path in
     hamiltonians.ising._offdiag_sum (RBM-family machines, float32).
+    ``lnpsi`` is accepted for signature parity but the reference value is
+    recomputed in-kernel (see _energy_kernel) so both sides of the ratio
+    use one logcosh implementation.
     """
+    del lnpsi
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas energy kernel is float32-only"
@@ -157,8 +173,6 @@ def pallas_offdiag_sum(
             state_spec(h),
             state_spec(1),
             state_spec(1),
-            state_spec(1),
-            state_spec(1),
         ],
         out_specs=[state_spec(1), state_spec(1)],
     )
@@ -182,7 +196,5 @@ def pallas_offdiag_sum(
         cache.y.im,
         cache.sa.re.reshape(k, 1),
         cache.sa.im.reshape(k, 1),
-        lnpsi.re.reshape(k, 1),
-        lnpsi.im.reshape(k, 1),
     )
     return C(ore[:, 0], oim[:, 0])

@@ -35,32 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_network_quantum_state_tpu.ops import cplx
 from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+from neural_network_quantum_state_tpu.ops.fastmath import fast_cos
 
 _LN2 = 0.6931471805599453
 _INV24 = float(2.0**-24)
-
-
-_INV_2PI = 0.15915494309189535
-
-
-def _fast_cos(x):
-    """Polynomial cosine (|err| < 1e-7 in f32): range-reduce to one period
-    via t = frac(x/2pi + 1/2) - 1/2, then a degree-14 even minimax
-    polynomial. The VPU's library cos dominated the sweep kernel (~50% of
-    its time by ablation); this is several times cheaper.
-    """
-    t = x * _INV_2PI + 0.5
-    t = t - jnp.floor(t) - 0.5  # [-0.5, 0.5], cos(2 pi t) == cos(x)
-    u = t * t
-    p = jnp.float32(-1.4609357670)
-    p = p * u + jnp.float32(7.8065988323)
-    p = p * u + jnp.float32(-26.406758113)
-    p = p * u + jnp.float32(60.242464258)
-    p = p * u + jnp.float32(-85.456685347)
-    p = p * u + jnp.float32(64.939390112)
-    p = p * u + jnp.float32(-19.739208758)
-    p = p * u + jnp.float32(0.99999999992)
-    return p
 
 
 def _logcosh_re(x, y):
@@ -68,11 +46,14 @@ def _logcosh_re(x, y):
 
     |cosh z|^2 identity: (1+e)^2 cos^2 y + (1-e)^2 sin^2 y =
     1 + e^2 + 2 e cos(2y) with e = exp(-2|x|) - 3 transcendentals per
-    element (exp, polynomial cos, log) instead of 4.
+    element. cos is the polynomial ops.fastmath.fast_cos (2.1x whole-kernel
+    by A/B ablation: TPU's library cos pays full Payne-Hanek reduction);
+    exp and log stay native - the VPU lowers them near-free, and the
+    polynomial versions measured 15-25% SLOWER (see fastmath docstring).
     """
     absx = jnp.abs(x)
     e = jnp.exp(-2.0 * absx)
-    mag2 = 1.0 + e * e + 2.0 * e * _fast_cos(2.0 * y)
+    mag2 = 1.0 + e * e + 2.0 * e * fast_cos(2.0 * y)
     return 0.5 * jnp.log(mag2) + (absx - _LN2)
 
 
@@ -91,8 +72,6 @@ def _sweep_kernel(
     yim_ref,  # (BK, H) in
     sare_ref,
     saim_ref,  # (BK, 1) in
-    lnre_ref,  # (BK, 1) in: Re ln psi (accept chain needs only Re;
-    # Mosaic has no atan2, so Im ln psi is recomputed outside the kernel)
     ospins_ref,
     oyre_ref,
     oyim_ref,
@@ -108,11 +87,19 @@ def _sweep_kernel(
     oyim_ref[:] = yim_ref[:]
     osare_ref[:] = sare_ref[:]
     osaim_ref[:] = saim_ref[:]
-    olnre_ref[:] = lnre_ref[:]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 99991)
     cre = cre_ref[:]  # (1, H)
     cim = cim_ref[:]
+
+    # Re ln psi_0 computed IN-KERNEL (not taken from the XLA lnpsi input) so
+    # the whole accept chain ln1 - ln0 uses one logcosh implementation - the
+    # TPU library-vs-polynomial transcendental difference would otherwise
+    # accumulate over H without cancelling. (The accept chain needs only Re;
+    # Mosaic has no atan2, so Im ln psi is recomputed outside the kernel.)
+    olnre_ref[:] = (
+        jnp.sum(cre * _logcosh_re(yre_ref[:], yim_ref[:]), axis=1, keepdims=True) + sare_ref[:]
+    )
 
     def body(t, acc):
         site = sched_ref[t]
@@ -163,7 +150,7 @@ def pallas_sweeps(
     schedule: jnp.ndarray,
     seed: jnp.ndarray,
     n_sweeps: int,
-    block_k: int = 1024,
+    block_k: int | None = None,
     interpret: bool = False,
 ):
     """Run n_sweeps fused sweeps; returns (cache, lnpsi, n_accepted).
@@ -177,6 +164,11 @@ def pallas_sweeps(
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas sweep is float32-only"
     assert work.c is None, "fused sweep supports c=None (RBM-family) machines"
+    if block_k is None:
+        # adaptive: keep each (BK, H) VMEM temporary around 1 MB so the
+        # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H
+        bk_cap = max(128, (256 * 1024) // max(1, h))
+        block_k = next((b for b in (1024, 512, 256, 128) if b <= bk_cap and k % b == 0), k)
     block_k = min(block_k, k)
     assert k % block_k == 0, (k, block_k)
     n_blocks = k // block_k
@@ -206,7 +198,6 @@ def pallas_sweeps(
             state_spec(h),  # yim
             state_spec(1),  # sare
             state_spec(1),  # saim
-            state_spec(1),  # lnre
         ],
         out_specs=[
             spins_spec,
@@ -249,13 +240,16 @@ def pallas_sweeps(
         cache.y.im,
         cache.sa.re.reshape(k, 1),
         cache.sa.im.reshape(k, 1),
-        lnpsi.re.reshape(k, 1),
     )
-    spins_t, yre, yim, sare, saim, lnre, acc = outs
+    spins_t, yre, yim, sare, saim, _lnre, acc = outs
     new_cache = Cache(spins=spins_t.T, y=C(yre, yim), sa=C(sare[:, 0], saim[:, 0]))
-    # Im ln psi from the final cache (one fused elementwise pass; the kernel
-    # tracks only Re, which is all the accept chain needs)
+    # Full ln psi recomputed from the final cache with the XLA logcosh (one
+    # fused elementwise pass): downstream consumers (local energy, SR) mix
+    # it with XLA-computed lnpsi1 values, so it must be XLA-flavored; the
+    # kernel's running Re-ln-psi is internal to the accept chain.
     ly = cplx.clogcosh(new_cache.y)
-    lnim_full = jnp.sum(ly.im, axis=-1) + new_cache.sa.im
-    new_lnpsi = C(lnre[:, 0], lnim_full)
+    new_lnpsi = C(
+        jnp.sum(ly.re, axis=-1) + new_cache.sa.re,
+        jnp.sum(ly.im, axis=-1) + new_cache.sa.im,
+    )
     return new_cache, new_lnpsi, jnp.sum(acc)

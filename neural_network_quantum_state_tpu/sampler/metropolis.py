@@ -91,7 +91,7 @@ def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> 
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "block_k"))
-def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int = 1024) -> MCState:
+def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int | None = None) -> MCState:
     """Pallas fused-sweep variant of :func:`sweeps` (float32, TPU): the whole
     multi-sweep proposal loop runs in one kernel with y resident in VMEM
     (ops.pallas_sweep). Statistically equivalent, different RNG stream."""
