@@ -16,6 +16,7 @@ return to the host each step.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from functools import partial
 from typing import Any, Callable, Optional
@@ -309,7 +310,12 @@ class VMC:
                 if verbose:
                     print(f"{n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
                 n += 1
-                if not jnp.isfinite(e_re):
+                # math.isfinite, NOT jnp: a jnp op on a host scalar creates
+                # a device computation whose bool() blocks on the dispatch
+                # round trip - ~30 ms/iteration through the remote tunnel
+                # (measured: run() at 46 ms/iter vs 9.3 ms for the jitted
+                # step; this line was the difference)
+                if not math.isfinite(e_re):
                     print('# "Havg" has non-value type. We stop here.')
                     stop = True
                     break
