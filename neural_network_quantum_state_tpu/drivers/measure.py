@@ -33,7 +33,7 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "renyi | fidelity | smag | stag | neel | zz | xx | overlap"),
+    ("what", "renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm"),
     ("ansatz", "machine family of the checkpoint"),
     ("L", "# of machine inputs"),
     ("nf", "# of hidden units / filters"),
@@ -48,6 +48,8 @@ OPTIONS = [
     ("dtype", "float32 | float64"),
     ("init", "walker start: random | neel (ordered states can be metastable - "
              "near criticality the two inits bound the estimator from both sectors)"),
+    ("npar", "opdm only: n_up,n_down sector of the fermion state"),
+    ("site", "opdm only: reference site n (rows OPDM(n, m) for m = 0..L-1-n)"),
 ]
 DEFAULTS = {
     "prefix2": "None",
@@ -58,6 +60,8 @@ DEFAULTS = {
     "seed": "0",
     "dtype": "float32",
     "init": "random",
+    "npar": "1,1",
+    "site": "0",
 }
 
 
@@ -117,6 +121,28 @@ def main(argv=None):
         m1, m2, m4 = neel_order(make_sampler(seed), side, niter, nms, nwarm)
         print(f"# neel m1={m1:.6f} m2={m2:.6f} m4={m4:.6f}")
         return m1, m2, m4
+    if what == "opdm":
+        # pair OPDM row <b+_{n+m} b_n> on a particle-conserving fermion
+        # state (MeasOPDM drivers, gpu meas.cuh:251-283); -L is 2L machine
+        # inputs, the sector comes from -npar
+        from neural_network_quantum_state_tpu.measurements.fermion import (
+            FermionAmplitudeSampler,
+            opdm_pair,
+        )
+
+        n_up, n_down = args.mfind("npar", int)
+        site = args.find("site", int)
+        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed)
+        l = machine.n_inputs // 2
+        row = [
+            opdm_pair(fs, site, m, niter, nms, nwarm if m == 0 else 0)
+            for m in range(l - site)
+        ]
+        out = np.asarray(row)
+        np.savetxt(args.find("prefix") + f".opdm{site}.dat", np.c_[out.real, out.imag])
+        print(f"# OPDM({site}, m=0..{l - site - 1}): " + " ".join(f"{v.real:+.6f}" for v in row))
+        print(f"# wrote {args.find('prefix')}.opdm{site}.dat")
+        return row
     if what == "zz":
         ss = spin_z_correlation(make_sampler(seed), niter, nms, nwarm)
         np.savetxt(args.find("prefix") + ".zz.dat", ss)

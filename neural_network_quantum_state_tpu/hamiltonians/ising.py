@@ -49,6 +49,10 @@ def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
         cache.spins.dtype == jnp.float32
         and work.c is None
         and jax.devices()[0].platform != "cpu"
+        and len(jax.devices()) == 1
+        # single-device only: a pallas_call cannot be partitioned by pjit
+        # over a mesh (the fused SWEEP has a shard_map wrapper for that;
+        # multi-chip local energy stays on the XLA path, which shards)
     ):
         # fused Pallas path: VMEM-resident walker blocks, polynomial
         # cos/sin logcosh - measured 6.5 ms vs 7.7 ms for the XLA path at

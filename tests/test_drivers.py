@@ -146,3 +146,22 @@ def test_train_hubbard_with_trap(tmp_path):
     assert len(res) == 1
     energies = [h["energy"] for h in res[0]["history"]]
     assert np.isfinite(energies).all()
+
+    row = measure.main(
+        [
+            "-what=opdm",
+            "-ansatz=rbm",
+            "-L=8",
+            "-nf=8",
+            "-ns=128",
+            f"-prefix={res[0]['prefix']}",
+            "-npar=1,1",
+            "-site=0",
+            "-niter=8",
+            "-nms=1",
+            "-nwarm=30",
+            "-dtype=float64",
+        ]
+    )
+    assert len(row) == 4  # L=4 sites -> m = 0..3
+    assert 0.0 <= row[0].real <= 1.0  # m=0 is a double occupancy
