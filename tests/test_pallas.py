@@ -56,3 +56,20 @@ def test_fused_sweep_rejects_ffnn():
     cache, lnpsi = engine.full_forward(work, spins)
     with pytest.raises(AssertionError):
         pallas_sweeps(work, cache, lnpsi, chain_checkerboard(8), jnp.int32(1), 1, block_k=64, interpret=True)
+
+
+def test_adaptive_block_sizing():
+    """VMEM-adaptive walker blocks: large H must shrink the block so the
+    kernel's (BK, H) temporaries stay within the ~16 MB VMEM budget."""
+    n, k = 8, 2048
+    machine = RBM(n_inputs=n, n_hiddens=512, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(1), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sched = chain_checkerboard(n)
+    # block_k=None -> adaptive: cap = 256*1024 // 512 = 512 -> block 512
+    c2, l2, acc = pallas_sweeps(work, cache, lnpsi, sched, jnp.int32(3), 2, block_k=None, interpret=True)
+    ref_cache, ref_ln = engine.full_forward(work, c2.spins)
+    np.testing.assert_allclose(np.asarray(l2.re), np.asarray(ref_ln.re), atol=2e-4)
+    assert bool(jnp.all(jnp.abs(c2.spins) == 1.0))
