@@ -50,6 +50,8 @@ OPTIONS = [
              "near criticality the two inits bound the estimator from both sectors)"),
     ("npar", "opdm only: n_up,n_down sector of the fermion state"),
     ("site", "opdm only: reference site n (rows OPDM(n, m) for m = 0..L-1-n)"),
+    ("nbeta", "parallel-tempered estimator replicas (1 = off; use for "
+              "metastable ordered/near-critical states - ns/nbeta chains read out)"),
 ]
 DEFAULTS = {
     "prefix2": "None",
@@ -62,6 +64,7 @@ DEFAULTS = {
     "init": "random",
     "npar": "1,1",
     "site": "0",
+    "nbeta": "1",
 }
 
 
@@ -82,8 +85,10 @@ def main(argv=None):
         neel_row = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
         init_spins = jnp.asarray(np.tile(neel_row, (ns, 1)), dtype)
 
+    n_beta = args.find("nbeta", int)
+
     def make_sampler(key):
-        return AmplitudeSampler(machine, params, ns, key=key, init_spins=init_spins)
+        return AmplitudeSampler(machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta)
 
     if what == "renyi":
         s1, s2 = make_sampler(seed), make_sampler(seed + 987654321)

@@ -37,10 +37,20 @@ class AmplitudeSampler:
         key: jax.Array | int = 0,
         init_spins: Optional[jnp.ndarray] = None,
         schedule: Optional[np.ndarray] = None,
+        n_beta: int = 1,
     ):
+        """n_beta > 1 enables replica-exchange (parallel-tempered) sampling:
+        n_walkers total chains hold n_walkers/n_beta physical chains x
+        n_beta tempered replicas (replica-minor layout); ``spins``/``lnpsi``
+        expose only the beta=1 slice. Use for near-critical/ordered states
+        where plain Metropolis is metastable (the reference's measurement
+        classes lack this; its PT machinery is training-side CPU-only)."""
         self.machine = machine
         self.params = params
         self.work = machine.make_work(params)
+        if n_beta > 1 and n_walkers % n_beta != 0:
+            raise ValueError("n_walkers must be a multiple of n_beta")
+        self.n_beta = n_beta
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         kinit, krun = jax.random.split(key)
@@ -54,17 +64,25 @@ class AmplitudeSampler:
         self.do_mcmc_steps(n_sweeps)
 
     def do_mcmc_steps(self, n_sweeps: int) -> None:
-        self.state = metropolis.sweeps(self.work, self.state, self.schedule, n_sweeps)
+        if self.n_beta > 1:
+            from neural_network_quantum_state_tpu.sampler import tempering
+
+            self.state = tempering.tempering_sweeps(
+                self.work, self.state, self.schedule, n_sweeps, self.n_beta
+            )
+        else:
+            self.state = metropolis.sweeps(self.work, self.state, self.schedule, n_sweeps)
 
     @property
     def spins(self) -> jnp.ndarray:
-        """Current spin states (K, N) - get_quantumStates()."""
-        return self.state.cache.spins
+        """Current spin states (K, N) - get_quantumStates(). With tempering,
+        only the beta=1 replicas (impl_mcmc_sampler.hpp:193-205)."""
+        return self.state.cache.spins[:: self.n_beta]
 
     @property
     def lnpsi(self) -> C:
-        """ln psi of the current states (K,) - get_lnpsi()."""
-        return self.state.lnpsi
+        """ln psi of the current states (K,) - get_lnpsi(); beta=1 slice."""
+        return C(self.state.lnpsi.re[:: self.n_beta], self.state.lnpsi.im[:: self.n_beta])
 
     def log_psi(self, spins: jnp.ndarray) -> C:
         """ln psi on fixed spin configurations - get_lnpsi_for_fixed_spins()."""
@@ -72,7 +90,8 @@ class AmplitudeSampler:
 
     @property
     def n_walkers(self) -> int:
-        return int(self.state.cache.spins.shape[0])
+        """Effective estimator walkers (beta=1 replicas under tempering)."""
+        return int(self.state.cache.spins.shape[0]) // self.n_beta
 
     @property
     def n_inputs(self) -> int:

@@ -122,3 +122,22 @@ def test_spin_x_correlation_vs_exact():
     s_got, ss_got = spin_x_correlation(smp, n_iterations=25, n_sweeps=2, n_warmup=150)
     np.testing.assert_allclose(s_got, want_s, atol=0.04)
     np.testing.assert_allclose(ss_got, want_ss, atol=0.05)
+
+
+def test_tempered_estimator_vs_exact():
+    """AmplitudeSampler(n_beta>1): the beta=1 readout must reproduce the
+    same |psi|^2 expectation values as plain sampling (the tempered
+    estimator for metastable states)."""
+    m1, p1 = _machine(7)
+    psi = _psi_vector(m1, p1)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+    s = _all_spins(N)
+    m_abs = np.abs(s.mean(axis=1))
+    want_m1 = float((p * m_abs).sum())
+
+    smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=21, n_beta=4)
+    assert smp.n_walkers == 1024
+    assert smp.spins.shape == (1024, N)
+    m1_got, m2_got, m4_got = spontaneous_magnetization(smp, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert abs(m1_got - want_m1) < 0.03, (m1_got, want_m1)
