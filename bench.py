@@ -1,9 +1,12 @@
-"""Benchmark: Metropolis sweep throughput on the flagship N=64 RBM.
+"""Benchmark: the three BASELINE.md target metrics, one JSON line each.
 
-Headline metric (BASELINE.json): walker-sweeps/sec/chip at N=64 RBM -
-one "sweep" = one full pass of single-spin-flip Metropolis proposals over
-all 64 sites of one walker's chain. Baseline target: 20,000 sweeps/sec/chip
-on TPU v5e. Prints ONE JSON line.
+1. N=16 TFI ground-state energy relative error vs the exact (Jordan-Wigner)
+   value, trained on-chip with mixed-precision SR (f32 sampling + f64
+   estimators/solve) - BASELINE "energy rel-error vs exact diag".
+2. SR solves/sec at N=64 steady state (full iteration: fused sweep + local
+   energy + O_k + CG + update) - BASELINE "SR solves/sec".
+3. Metropolis walker-sweeps/sec/chip at N=64 RBM (headline; target 20k/s
+   on v5e) - printed LAST so single-line parsers keep the headline metric.
 """
 
 from __future__ import annotations
@@ -12,16 +15,96 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
-from neural_network_quantum_state_tpu.hamiltonians import LITFIChain
-from neural_network_quantum_state_tpu.models import RBMTrSymm
-from neural_network_quantum_state_tpu.sampler import metropolis
+jax.config.update("jax_enable_x64", True)  # mixed-precision SR needs f64
+
+import jax.numpy as jnp  # noqa: E402
+
+from neural_network_quantum_state_tpu.hamiltonians import LITFIChain, TFIChain  # noqa: E402
+from neural_network_quantum_state_tpu.models import RBMTrSymm  # noqa: E402
+from neural_network_quantum_state_tpu.sampler import metropolis  # noqa: E402
+from neural_network_quantum_state_tpu.utils.exact import tfi_chain_exact_energy  # noqa: E402
 
 BASELINE_SWEEPS_PER_SEC = 20_000.0
+BASELINE_REL_ERR = 1e-4  # BASELINE.json north-star precision bar
 
 
-def main():
+def bench_energy_rel_err():
+    """Train N=16 TFI on-chip (f32 machine, f64 SR) and report the relative
+    energy error vs the exact JW value."""
+    import neural_network_quantum_state_tpu as nqs
+
+    n = 16
+    machine = RBMTrSymm(n_inputs=n, alpha=4, dtype=jnp.float32)
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    cfg = nqs.VMCConfig(
+        n_walkers=4096,
+        learning_rate=2e-2,
+        solver="cg",
+        solve_dtype=jnp.float64,
+        steps_per_host_loop=50,
+        use_fused_sweeps=jax.devices()[0].platform != "cpu",
+        seed=7,
+    )
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 300)
+    params, state, history, _ = vmc.run(params, state, 1500)
+    import numpy as np
+
+    e = float(np.mean([h["energy"] for h in history[-300:]]))
+    e_exact = tfi_chain_exact_energy(n, h=-1.0, j=-1.0)
+    rel = abs(e - e_exact) / abs(e_exact)
+    print(
+        json.dumps(
+            {
+                "metric": "energy_rel_err_vs_exact_N16_TFI_mixed_precision",
+                "value": float(f"{rel:.3g}"),
+                "unit": "rel_err",
+                "vs_baseline": round(BASELINE_REL_ERR / max(rel, 1e-300), 3),
+            }
+        )
+    )
+
+
+def bench_sr_solves():
+    """Full SR iterations/sec at N=64 (the production flagship shape)."""
+    import neural_network_quantum_state_tpu as nqs
+
+    n, alpha, k = 64, 4, 8192
+    machine = RBMTrSymm(n_inputs=n, alpha=alpha, dtype=jnp.float32)
+    ham = LITFIChain(n_sites=n, h=-0.5, j=0.866, alpha=2.5, pbc=True)
+    m = 50
+    cfg = nqs.VMCConfig(
+        n_walkers=k,
+        learning_rate=1e-2,
+        solver="cg",
+        steps_per_host_loop=m,
+        use_fused_sweeps=jax.devices()[0].platform != "cpu",
+        seed=3,
+    )
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 100)
+    # compile + settle
+    params, state, _, _ = vmc.run(params, state, m)
+    t0 = time.perf_counter()
+    n_iter = 4 * m
+    params, state, history, _ = vmc.run(params, state, n_iter)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "sr_solves_per_sec_N64_RBMTrSymm_a4_8192walkers",
+                "value": round(n_iter / dt, 1),
+                "unit": "iters/s",
+                "vs_baseline": round(n_iter / dt, 1),  # no reference number exists
+            }
+        )
+    )
+
+
+def bench_sweep_throughput():
     n, alpha, k = 64, 4, 8192
     n_sweeps_per_call = 20
 
@@ -58,6 +141,12 @@ def main():
             }
         )
     )
+
+
+def main():
+    bench_energy_rel_err()
+    bench_sr_solves()
+    bench_sweep_throughput()  # headline metric LAST (single-line parsers)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ OPTIONS = [
     ("site", "opdm only: reference site n (rows OPDM(n, m) for m = 0..L-1-n)"),
     ("nbeta", "parallel-tempered estimator replicas (1 = off; use for "
               "metastable ordered/near-critical states - ns/nbeta chains read out)"),
+    ("mesh", "# of devices for walker-sharded estimation (0 = single device)"),
 ]
 DEFAULTS = {
     "prefix2": "None",
@@ -65,6 +66,7 @@ DEFAULTS = {
     "npar": "1,1",
     "site": "0",
     "nbeta": "1",
+    "mesh": "0",
 }
 
 
@@ -86,9 +88,17 @@ def main(argv=None):
         init_spins = jnp.asarray(np.tile(neel_row, (ns, 1)), dtype)
 
     n_beta = args.find("nbeta", int)
+    n_mesh = args.find("mesh", int)
+    mesh = None
+    if n_mesh > 0:
+        from neural_network_quantum_state_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_mesh)
 
     def make_sampler(key):
-        return AmplitudeSampler(machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta)
+        return AmplitudeSampler(
+            machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta, mesh=mesh
+        )
 
     if what == "renyi":
         s1, s2 = make_sampler(seed), make_sampler(seed + 987654321)
@@ -100,7 +110,8 @@ def main(argv=None):
         params2 = load_reference_text(machine2, args.find("prefix2"))
         if what == "fidelity":
             s1 = make_sampler(seed)
-            s2 = AmplitudeSampler(machine2, params2, ns, key=seed + 987654321)
+            # same mesh: replicas must be co-sharded for device-local cross terms
+            s2 = AmplitudeSampler(machine2, params2, ns, key=seed + 987654321, mesh=mesh)
             val, err = fidelity(s1, s2, niter, nwarm, nms)
             print(f"# fidelity : {val:.6f} +/- {err:.2e}")
             return val, err

@@ -51,7 +51,11 @@ OPTIONS = [
     ("nms", "# of sweeps per SR iteration"),
     ("lr", "learning rate (deltaTau)"),
     ("rsd", "RSD convergence cutoff"),
-    ("solver", "cg | minresqlp | lu | cholesky | svd | sgd"),
+    ("solver", "cg | auto (cg->minresqlp fallback) | minresqlp | lu | cholesky | svd | sgd"),
+    ("solvedtype", "SR estimator/solve dtype: same | float64 (mixed-precision "
+                   "SR: f32 sampling + f64 local energy/O_k/solve - the "
+                   "reference's double-precision training accuracy on TPU)"),
+    ("mesh", "# of devices for walker-sharded training (0 = single device)"),
     ("nbeta", "parallel-tempering replicas (1 = off)"),
     ("path", "directory for checkpoints/metrics"),
     ("seed", "RNG seed"),
@@ -76,6 +80,8 @@ DEFAULTS = {
     "lr": "1e-2",
     "rsd": "1e-3",
     "solver": "cg",
+    "solvedtype": "same",
+    "mesh": "0",
     "nbeta": "1",
     "path": ".",
     "seed": "0",
@@ -118,6 +124,10 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
     ham = build_hamiltonian(model, n_inputs, **ham_kw)
 
     prefix = checkpoint_prefix(args.find("path"), model, ansatz, n_inputs, nf, ver, **prefix_kw)
+    solve_dtype = None
+    if args.find("solvedtype").lower() in ("float64", "f64", "double"):
+        jax.config.update("jax_enable_x64", True)
+        solve_dtype = jnp.float64
     cfg = nqs.VMCConfig(
         n_walkers=args.find("ns", int),
         n_sweeps_per_step=args.find("nms", int),
@@ -127,9 +137,14 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
         n_beta=args.find("nbeta", int),
         steps_per_host_loop=args.find("mloop", int),
         use_fused_sweeps=bool(args.find("fused", int)),
+        solve_dtype=solve_dtype,
         seed=args.find("seed", int),
     )
-    vmc = nqs.VMC(machine, ham, cfg)
+    mesh = None
+    n_mesh = args.find("mesh", int)
+    if n_mesh > 0:
+        mesh = nqs.parallel.make_mesh(n_mesh)
+    vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
     params, state = vmc.init()
     ifprefix = args.find("ifprefix")
     if ifprefix != "None":

@@ -40,3 +40,43 @@ class Hamiltonian:
 
     def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
+
+    # -- multi-device -----------------------------------------------------
+    def local_energy_local(self, work: Work, cache: Cache, lnpsi):
+        """Per-device-shard local energy, called inside shard_map. Defaults
+        to ``local_energy``; subclasses override to enable per-shard fused
+        Pallas kernels (which pjit cannot partition on its own)."""
+        return self.local_energy(work, cache, lnpsi)
+
+    def local_energy_sharded(self, work: Work, cache: Cache, lnpsi, mesh, axis_name: str = "walkers"):
+        """Walker-sharded local energy over a device mesh.
+
+        The local energy has NO cross-walker terms (it is a per-chain
+        estimate, reference get_htilda_ hooks, impl_hamiltonians.hpp), so it
+        shard_maps cleanly over the walker axis: parameters replicate, each
+        device computes its own shard - including any per-shard fused
+        kernels - and no collectives are issued at all.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        w_spec = P(axis_name)
+        repl = P()
+
+        def body(work, cache, lnpsi):
+            return self.local_energy_local(work, cache, lnpsi)
+
+        specs_of = lambda tree, spec: jax.tree_util.tree_map(lambda _: spec, tree)
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs_of(work, repl), specs_of(cache, w_spec), specs_of(lnpsi, w_spec)),
+            out_specs=specs_of(lnpsi, w_spec),
+            # per-shard pallas_call results carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+        return mapped(work, cache, lnpsi)

@@ -36,24 +36,25 @@ from neural_network_quantum_state_tpu.sampler import schedule as sched
 _OFFDIAG_CHUNK_ELEMS = 64 * 1024 * 1024  # cap K*chunk*H per flip tensor
 
 
-def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
+def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int, fused: bool | None = None) -> C:
     """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) - the N-forward term.
 
     The flip tensor is O(K * n * H); for production shapes (N=128, 4096+
     walkers) that exceeds HBM, so sites are processed in chunks sized to
     ~64M elements via a scanned site-block loop.
+
+    fused: None = auto (Pallas kernel on a single TPU device when the
+    machine is f32/RBM-family); True = force the Pallas kernel on the LOCAL
+    shard (the caller is inside shard_map - a pallas_call cannot be
+    partitioned by pjit alone, see Hamiltonian.local_energy_sharded);
+    False = XLA chunked path.
     """
     k = cache.spins.shape[0]
     h = work.w.re.shape[1]
-    if (
-        cache.spins.dtype == jnp.float32
-        and work.c is None
-        and jax.devices()[0].platform != "cpu"
-        and len(jax.devices()) == 1
-        # single-device only: a pallas_call cannot be partitioned by pjit
-        # over a mesh (the fused SWEEP has a shard_map wrapper for that;
-        # multi-chip local energy stays on the XLA path, which shards)
-    ):
+    eligible = cache.spins.dtype == jnp.float32 and work.c is None
+    if fused is None:
+        fused = eligible and jax.devices()[0].platform != "cpu" and len(jax.devices()) == 1
+    if fused and eligible:
         # fused Pallas path: VMEM-resident walker blocks, polynomial
         # cos/sin logcosh - measured 6.5 ms vs 7.7 ms for the XLA path at
         # N=64/H=256/K=8192 on v5e, with equal (1.2e-4 vs f64) accuracy.
@@ -66,6 +67,7 @@ def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int) -> C:
             return pallas_offdiag_sum(
                 work, cache, lnpsi, np.arange(n_sites, dtype=np.int32),
                 block_k=block_k or k,
+                interpret=jax.devices()[0].platform == "cpu",
             )
     chunk = max(1, min(n_sites, _OFFDIAG_CHUNK_ELEMS // max(1, k * h)))
     if chunk >= n_sites:
@@ -115,10 +117,14 @@ class _NeighborTFI(Hamiltonian):
         bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :])
         return 0.5 * bond
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
-        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites)
+    def local_energy(self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None) -> C:
+        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites, fused=fused)
         diag = self.diag_energy(cache.spins)
         return C(diag + self.h * offdiag.re, self.h * offdiag.im)
+
+    def local_energy_local(self, work: Work, cache: Cache, lnpsi: C) -> C:
+        # inside shard_map: force the per-shard fused kernel when eligible
+        return self.local_energy(work, cache, lnpsi, fused=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,13 +192,17 @@ class LITFIChain(Hamiltonian):
     def schedule(self) -> np.ndarray:
         return sched.chain_checkerboard(self.n_sites)
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: C) -> C:
+    def local_energy(self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None) -> C:
         s = cache.spins
         sj = s @ jnp.asarray(self.j_matrix, s.dtype)  # (K, L) dense long-range GEMM
         diag = 0.5 * jnp.sum(sj * s, axis=-1)
-        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites)
+        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites, fused=fused)
         inv_l = 1.0 / self.n_sites
         return C((diag + self.h * offdiag.re) * inv_l, self.h * offdiag.im * inv_l)
+
+    def local_energy_local(self, work: Work, cache: Cache, lnpsi: C) -> C:
+        # inside shard_map: force the per-shard fused kernel when eligible
+        return self.local_energy(work, cache, lnpsi, fused=True)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,10 +1,21 @@
 """Measurement estimators (reference L7).
 
 TPU-native ports of cpu/include/measurements.hpp:13-483 and
-gpu/include/meas.cuh:11-283 (+impl_meas.cuh): every estimator is a host
-loop over jitted, walker-batched device steps. Conventions (means over
+gpu/include/meas.cuh:11-283 (+impl_meas.cuh). Conventions (means over
 chains x iterations, error bars, conjugations) follow the reference
 exactly; citations on each function.
+
+Execution model: every estimator's iteration loop runs DEVICE-SIDE as one
+``lax.scan`` (AmplitudeSampler.run_estimator / run_pair_estimator) - a
+single dispatch for the whole measurement instead of the reference's
+per-iteration kernel launches (and instead of a naive host loop, which
+pays the 15-30 ms remote-dispatch latency every iteration). Per-iteration
+scalars return to the host in one transfer; statistics/error bars are
+computed on host exactly as the reference does.
+
+Under a walker-sharded mesh (AmplitudeSampler(mesh=...)) the per-iteration
+walker means lower to mesh collectives; two-replica estimators keep both
+replicas identically sharded so swap/cross terms stay device-local.
 """
 
 from __future__ import annotations
@@ -15,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampler
+from neural_network_quantum_state_tpu.measurements.sampler import (
+    AmplitudeSampler,
+    run_pair_estimator,
+)
 from neural_network_quantum_state_tpu.ops import cplx, engine
 from neural_network_quantum_state_tpu.ops.cplx import C
 
@@ -25,16 +39,17 @@ def measure_energy(vmc_or_pair, n_trials: int, n_sweeps: int = 1):
     """<Etilde> over n_trials sampling rounds, mean +/- std-of-trial-means
     (free fn meas_energy, cpu measurements.hpp:123-144).
 
-    Accepts a (sampler_step, energy_fn) pair via a VMC-like object exposing
-    ``sample_and_energy()`` or an (AmplitudeSampler, hamiltonian) tuple.
+    Accepts an (AmplitudeSampler, hamiltonian) tuple.
     """
     sampler, ham = vmc_or_pair
-    means = []
-    for _ in range(n_trials):
-        sampler.do_mcmc_steps(n_sweeps)
-        ht = ham.local_energy(sampler.work, sampler.state.cache, sampler.state.lnpsi)
-        means.append(complex(float(jnp.mean(ht.re)), float(jnp.mean(ht.im))))
-    means = np.asarray(means)
+    work = sampler.work
+
+    def accum(cache, lnpsi):
+        ht = ham.local_energy(work, cache, lnpsi)
+        return jnp.mean(ht.re), jnp.mean(ht.im)
+
+    re, im = sampler.run_estimator(accum, n_trials, n_sweeps)
+    means = np.asarray(re) + 1j * np.asarray(im)
     err = means.real.std(ddof=1) / np.sqrt(n_trials) if n_trials > 1 else 0.0
     return means.mean(), err
 
@@ -55,19 +70,14 @@ def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_
         z = np.asarray(coeff)  # split on host: TPU has no complex dtypes
         co = C(jnp.asarray(z.real, rdt), jnp.asarray(np.imag(z), rdt))
 
-    @jax.jit
-    def mag_abs(spins):
+    def accum(cache, lnpsi):
+        spins = cache.spins
         m = C(spins @ co.re, spins @ co.im) * (1.0 / n)
-        return jnp.sqrt(cplx.abs2(m))
+        mag = jnp.sqrt(cplx.abs2(m))
+        return jnp.mean(mag), jnp.mean(mag**2), jnp.mean(mag**4)
 
-    m1 = m2 = m4 = 0.0
-    for _ in range(n_iterations):
-        sampler.do_mcmc_steps(n_sweeps)
-        mag = np.asarray(mag_abs(sampler.spins))
-        m1 += mag.mean()
-        m2 += (mag**2).mean()
-        m4 += (mag**4).mean()
-    return m1 / n_iterations, m2 / n_iterations, m4 / n_iterations
+    m1, m2, m4 = sampler.run_estimator(accum, n_iterations, n_sweeps)
+    return float(np.mean(m1)), float(np.mean(m2)), float(np.mean(m4))
 
 
 def spontaneous_magnetization(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100):
@@ -104,18 +114,13 @@ def overlap_integral(
     Returns (mean complex, re_err, im_err)."""
     sampler.warm_up(n_warmup)
 
-    @jax.jit
-    def trial(spins, lnpsi1):
-        lnpsi2 = engine.log_psi(work2, spins)
-        r = cplx.cexp(lnpsi2 - lnpsi1)
+    def accum(cache, lnpsi):
+        lnpsi2 = engine.log_psi(work2, cache.spins)
+        r = cplx.cexp(lnpsi2 - lnpsi)
         return jnp.mean(r.re), jnp.mean(r.im)
 
-    vals = []
-    for _ in range(n_trials):
-        sampler.do_mcmc_steps(n_sweeps)
-        re, im = trial(sampler.spins, sampler.lnpsi)
-        vals.append(complex(float(re), float(im)))
-    vals = np.asarray(vals)
+    re, im = sampler.run_estimator(accum, n_trials, n_sweeps)
+    vals = np.asarray(re) + 1j * np.asarray(im)
     mean = vals.mean()
     re_err = vals.real.std(ddof=1) if n_trials > 1 else 0.0
     im_err = vals.imag.std(ddof=1) if n_trials > 1 else 0.0
@@ -136,7 +141,9 @@ def renyi2_entropy(
     (MeasRenyiEntropy, impl_meas.cuh:57-142): swap sites [l, N) between the
     replicas and average conj(exp(ln3 + ln4 - ln1 - ln2)).
 
-    Subsystem A = sites [0, l); both replicas sample |psi|^2.
+    Subsystem A = sites [0, l); both replicas sample |psi|^2. Under a mesh
+    both replicas shard identically, so the region swap is a device-local
+    elementwise select (no cross-device gathers - SURVEY.md 7 'hard parts').
     """
     n = sampler1.n_inputs
     if not (0 <= l < n):
@@ -147,23 +154,17 @@ def renyi2_entropy(
 
     region = jnp.arange(n) >= l  # sites swapped between replicas
 
-    @jax.jit
-    def swap_ratio(s1, s2, ln1: C, ln2: C):
+    def accum(c1, ln1: C, c2, ln2: C):
+        s1, s2 = c1.spins, c2.spins
         s3 = jnp.where(region[None, :], s2, s1)
         s4 = jnp.where(region[None, :], s1, s2)
         ln3 = engine.log_psi(work, s3)
         ln4 = engine.log_psi(work, s4)
         r = cplx.cexp(ln3 + ln4 - ln1 - ln2)
         # conj then accumulate (meas__GetRho2local__): only Re survives the mean
-        return jnp.mean(r.re), jnp.mean(-r.im)
+        return jnp.mean(r.re)
 
-    vals = []
-    for _ in range(n_iterations):
-        sampler1.do_mcmc_steps(n_sweeps)
-        sampler2.do_mcmc_steps(n_sweeps)
-        re, _ = swap_ratio(sampler1.spins, sampler2.spins, sampler1.lnpsi, sampler2.lnpsi)
-        vals.append(float(re))
-    tr2 = np.asarray(vals)
+    tr2 = np.asarray(run_pair_estimator(sampler1, sampler2, accum, n_iterations, n_sweeps))
     rho2 = tr2.mean()
     s2 = float(-np.log(rho2))
     if return_error:
@@ -194,19 +195,13 @@ def fidelity(
     sampler1.warm_up(n_warmup)
     sampler2.warm_up(n_warmup)
 
-    @jax.jit
-    def cross_ratio(s1, s2, ln1: C, ln2: C):
-        ln3 = engine.log_psi(work1, s2)  # <sigma_2|psi_1>
-        ln4 = engine.log_psi(work2, s1)  # <sigma_1|psi_2>
+    def accum(c1, ln1: C, c2, ln2: C):
+        ln3 = engine.log_psi(work1, c2.spins)  # <sigma_2|psi_1>
+        ln4 = engine.log_psi(work2, c1.spins)  # <sigma_1|psi_2>
         r = cplx.cexp(ln3 + ln4 - ln1 - ln2)
         return jnp.mean(r.re)
 
-    r_list = []
-    for _ in range(n_meas):
-        sampler1.do_mcmc_steps(n_sweeps)
-        sampler2.do_mcmc_steps(n_sweeps)
-        r_list.append(float(cross_ratio(sampler1.spins, sampler2.spins, sampler1.lnpsi, sampler2.lnpsi)))
-    r = np.asarray(r_list)
+    r = np.asarray(run_pair_estimator(sampler1, sampler2, accum, n_meas, n_sweeps))
     rho_mean = float(np.sqrt(np.mean(r)))
     if n_meas > 1:
         err = float(np.sqrt(np.sum((np.sqrt(np.abs(r)) - rho_mean) ** 2) / ((n_meas - 1) * n_meas)))
@@ -220,17 +215,13 @@ def spin_z_correlation(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: i
     """<s_i s_j> matrix via walker-axis rank-K updates (herk accumulation,
     MeasSpinZSpinZCorrelation, impl_meas.cuh:271-312)."""
     sampler.warm_up(n_warmup)
-    n = sampler.n_inputs
 
-    @jax.jit
-    def accum(spins):
+    def accum(cache, lnpsi):
+        spins = cache.spins
         return spins.T @ spins / spins.shape[0]
 
-    ss = np.zeros((n, n))
-    for _ in range(n_iterations):
-        sampler.do_mcmc_steps(n_sweeps)
-        ss += np.asarray(accum(sampler.spins))
-    return ss / n_iterations
+    ss = sampler.run_estimator(accum, n_iterations, n_sweeps)  # (T, N, N)
+    return np.asarray(ss).mean(axis=0)
 
 
 def spin_x_correlation(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100):
@@ -246,7 +237,6 @@ def spin_x_correlation(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: i
     work = sampler.work
     sites = jnp.arange(n, dtype=jnp.int32)
 
-    @jax.jit
     def accum(cache: engine.Cache, lnpsi: C):
         # <sigma^x_i>: all single flips at once
         ln1 = engine.all_flip_log_psi(work, cache, sites)  # (K, N)
@@ -264,14 +254,8 @@ def spin_x_correlation(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: i
         ss_acc = jax.lax.map(row, sites)  # (N, N)
         return s_acc, ss_acc
 
-    s = np.zeros(n)
-    ss = np.zeros((n, n))
-    for _ in range(n_iterations):
-        sampler.do_mcmc_steps(n_sweeps)
-        s_a, ss_a = accum(sampler.state.cache, sampler.lnpsi)
-        s += np.asarray(s_a)
-        ss += np.asarray(ss_a)
-    s /= n_iterations
-    ss /= n_iterations
+    s_t, ss_t = sampler.run_estimator(accum, n_iterations, n_sweeps)
+    s = np.asarray(s_t).mean(axis=0)
+    ss = np.asarray(ss_t).mean(axis=0)
     np.fill_diagonal(ss, 1.0)  # sigma^x_i sigma^x_i = identity
     return s, ss

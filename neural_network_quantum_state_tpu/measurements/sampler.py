@@ -38,19 +38,26 @@ class AmplitudeSampler:
         init_spins: Optional[jnp.ndarray] = None,
         schedule: Optional[np.ndarray] = None,
         n_beta: int = 1,
+        mesh=None,
     ):
         """n_beta > 1 enables replica-exchange (parallel-tempered) sampling:
         n_walkers total chains hold n_walkers/n_beta physical chains x
         n_beta tempered replicas (replica-minor layout); ``spins``/``lnpsi``
         expose only the beta=1 slice. Use for near-critical/ordered states
         where plain Metropolis is metastable (the reference's measurement
-        classes lack this; its PT machinery is training-side CPU-only)."""
+        classes lack this; its PT machinery is training-side CPU-only).
+
+        mesh: optional ``jax.sharding.Mesh`` - the walker axis shards across
+        it (parameters replicate) and every estimator's walker reductions
+        lower to mesh collectives, exactly like the training step. The
+        reference is single-GPU here (Sampler4SpinHalf, meas.cuh:11-28)."""
         self.machine = machine
         self.params = params
         self.work = machine.make_work(params)
         if n_beta > 1 and n_walkers % n_beta != 0:
             raise ValueError("n_walkers must be a multiple of n_beta")
         self.n_beta = n_beta
+        self.mesh = mesh
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         kinit, krun = jax.random.split(key)
@@ -58,20 +65,58 @@ class AmplitudeSampler:
             init_spins = random_spins(kinit, n_walkers, machine.n_inputs, machine.real_dtype)
         self.schedule = jnp.asarray(schedule if schedule is not None else sequential(machine.n_inputs))
         self.state = metropolis.init_state(self.work, init_spins, krun)
+        if mesh is not None:
+            from neural_network_quantum_state_tpu.parallel import mesh as meshlib
+
+            # replica-minor layout keeps each physical chain's n_beta
+            # replicas contiguous; shard whole chains (n_walkers leading dim)
+            self.state = meshlib.shard_walker_tree(self.state, mesh, n_walkers)
+            self.work = machine.make_work(meshlib.shard_walker_tree(params, mesh, n_walkers))
 
     # -- reference API surface -------------------------------------------
     def warm_up(self, n_sweeps: int) -> None:
         self.do_mcmc_steps(n_sweeps)
 
-    def do_mcmc_steps(self, n_sweeps: int) -> None:
-        if self.n_beta > 1:
+    def _advance_fn(self, n_sweeps: int):
+        """Pure state -> state advance of n_sweeps (traceable inside jit)."""
+        work, sched, nb = self.work, self.schedule, self.n_beta
+        if nb > 1:
             from neural_network_quantum_state_tpu.sampler import tempering
 
-            self.state = tempering.tempering_sweeps(
-                self.work, self.state, self.schedule, n_sweeps, self.n_beta
-            )
-        else:
-            self.state = metropolis.sweeps(self.work, self.state, self.schedule, n_sweeps)
+            return lambda state: tempering.tempering_sweeps(work, state, sched, n_sweeps, nb)
+        return lambda state: metropolis.sweeps(work, state, sched, n_sweeps)
+
+    def do_mcmc_steps(self, n_sweeps: int) -> None:
+        self.state = self._advance_fn(n_sweeps)(self.state)
+
+    def _beta1(self, tree):
+        """beta=1 replica slice of a per-walker pytree (replica-minor)."""
+        if self.n_beta == 1:
+            return tree
+        return jax.tree_util.tree_map(lambda x: x[:: self.n_beta], tree)
+
+    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1):
+        """Run ``n_iterations`` of (advance n_sweeps; accum_fn(cache, lnpsi))
+        as ONE device computation (lax.scan) and return accum_fn's outputs
+        stacked on axis 0, as host numpy.
+
+        This removes the per-iteration host round trip of the naive loop
+        (measured 15-30 ms dispatch latency through the remote TPU tunnel,
+        dominating measure-driver wall clock at niter=500); the training
+        loop batches steps the same way (vmc.py steps_per_host_loop).
+        ``accum_fn`` receives the beta=1 slice under tempering."""
+        adv = self._advance_fn(n_sweeps)
+
+        def body(state, _):
+            state = adv(state)
+            return state, accum_fn(self._beta1(state.cache), self._beta1(state.lnpsi))
+
+        @jax.jit
+        def runner(state):
+            return jax.lax.scan(body, state, None, length=n_iterations)
+
+        self.state, outs = runner(self.state)
+        return jax.device_get(outs)
 
     @property
     def spins(self) -> jnp.ndarray:
@@ -96,3 +141,34 @@ class AmplitudeSampler:
     @property
     def n_inputs(self) -> int:
         return self.machine.n_inputs
+
+
+def run_pair_estimator(
+    s1: AmplitudeSampler,
+    s2: AmplitudeSampler,
+    accum_fn,
+    n_iterations: int,
+    n_sweeps: int = 1,
+):
+    """Two-replica variant of :meth:`AmplitudeSampler.run_estimator`: both
+    samplers advance in lock-step inside one device-side lax.scan (the
+    Renyi/fidelity pattern, impl_meas.cuh:57-99). ``accum_fn(c1, ln1, c2,
+    ln2)`` sees the beta=1 slices. Under a mesh, both replicas carry the
+    same walker sharding, so the swap/cross terms are device-local
+    (SURVEY.md 7 'hard parts': replicas must be co-located)."""
+    adv1, adv2 = s1._advance_fn(n_sweeps), s2._advance_fn(n_sweeps)
+
+    def body(carry, _):
+        st1, st2 = carry
+        st1, st2 = adv1(st1), adv2(st2)
+        out = accum_fn(
+            s1._beta1(st1.cache), s1._beta1(st1.lnpsi), s2._beta1(st2.cache), s2._beta1(st2.lnpsi)
+        )
+        return (st1, st2), out
+
+    @jax.jit
+    def runner(st1, st2):
+        return jax.lax.scan(body, (st1, st2), None, length=n_iterations)
+
+    (s1.state, s2.state), outs = runner(s1.state, s2.state)
+    return jax.device_get(outs)

@@ -116,3 +116,35 @@ def fast_log_pos(v):
     p = p * u + jnp.float32(1.0 / 3.0)
     p = p * u + jnp.float32(1.0)
     return kf * _LN2 + 2.0 * s * p
+
+
+def _atan_poly(z):
+    """atan on [-1, 1]: 11th-order odd minimax polynomial (f32, ~1e-6 rad)."""
+    z2 = z * z
+    p = jnp.float32(-0.0117212)
+    p = p * z2 + jnp.float32(0.05265332)
+    p = p * z2 + jnp.float32(-0.11643287)
+    p = p * z2 + jnp.float32(0.19354346)
+    p = p * z2 + jnp.float32(-0.33262347)
+    p = p * z2 + jnp.float32(0.99997726)
+    return z * p
+
+
+_PI = 3.141592653589793
+_HALF_PI = 1.5707963267948966
+
+
+def fast_atan2(b, a):
+    """Quadrant-corrected atan2(b, a) from the polynomial atan - Mosaic has
+    no atan/atan2 lowering, so Pallas kernels that need Im ln cosh (complex
+    output weights / local-energy phases) use this (VPU-only ops)."""
+    eps = jnp.float32(1e-30)
+    abs_a, abs_b = jnp.abs(a), jnp.abs(b)
+    # ratio in [-1,1]: atan(min/max), then reflect
+    num = jnp.minimum(abs_a, abs_b)
+    den = jnp.maximum(abs_a, abs_b)
+    r = num / jnp.maximum(den, eps)
+    t = _atan_poly(r)
+    t = jnp.where(abs_b > abs_a, _HALF_PI - t, t)  # angle vs +x axis in [0, pi/2]
+    t = jnp.where(a < 0, _PI - t, t)
+    return jnp.where(b < 0, -t, t)

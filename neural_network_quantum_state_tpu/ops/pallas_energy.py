@@ -29,37 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_network_quantum_state_tpu.ops import cplx
 from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
+from neural_network_quantum_state_tpu.ops.fastmath import fast_atan2 as _atan2
 from neural_network_quantum_state_tpu.ops.fastmath import fast_cos, fast_sin
 
 _LN2 = 0.6931471805599453
-_PI = 3.141592653589793
-_HALF_PI = 1.5707963267948966
-
-
-def _atan_poly(z):
-    """atan on [-1, 1]: 11th-order odd minimax polynomial (f32, ~1e-6 rad)."""
-    z2 = z * z
-    p = jnp.float32(-0.0117212)
-    p = p * z2 + jnp.float32(0.05265332)
-    p = p * z2 + jnp.float32(-0.11643287)
-    p = p * z2 + jnp.float32(0.19354346)
-    p = p * z2 + jnp.float32(-0.33262347)
-    p = p * z2 + jnp.float32(0.99997726)
-    return z * p
-
-
-def _atan2(b, a):
-    """Quadrant-corrected atan2 from the polynomial atan (VPU-only ops)."""
-    eps = jnp.float32(1e-30)
-    abs_a, abs_b = jnp.abs(a), jnp.abs(b)
-    # ratio in [-1,1]: atan(min/max), then reflect
-    num = jnp.minimum(abs_a, abs_b)
-    den = jnp.maximum(abs_a, abs_b)
-    r = num / jnp.maximum(den, eps)
-    t = _atan_poly(r)
-    t = jnp.where(abs_b > abs_a, _HALF_PI - t, t)  # angle vs +x axis in [0, pi/2]
-    t = jnp.where(a < 0, _PI - t, t)
-    return jnp.where(b < 0, -t, t)
 
 
 def _logcosh_both(x, y):
@@ -150,6 +123,13 @@ def pallas_offdiag_sum(
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas energy kernel is float32-only"
     assert work.c is None, "pallas energy kernel supports c=None (RBM-family) machines"
+    # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
+    # legalize (see ops.pallas_sweep); all values here are explicit f32/int32
+    with jax.enable_x64(False):
+        return _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h)
+
+
+def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
     block_k = min(block_k, k)
     assert k % block_k == 0
     n_blocks = k // block_k

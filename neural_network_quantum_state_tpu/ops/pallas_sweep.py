@@ -18,9 +18,12 @@ Supports every log-cosh machine (optional visible bias a, optional output
 weights c) in float32 (TPU-native dtype; the f64 test path uses the XLA
 sweep). Acceptance counts are returned per block.
 
-RNG note: accept draws come from the Pallas per-core PRNG seeded with
-(seed, program_id) rather than the host threefry stream - statistically
-equivalent, bitwise different from the XLA path.
+RNG note: accept draws come from the Pallas per-core PRNG, seeded per grid
+program with an independent threefry-derived value (never linear offsets of
+one seed) - statistically equivalent to, bitwise different from, the XLA
+path's host threefry stream. In interpret mode (no HW PRNG) a murmur3-based
+counter PRNG substitutes, keeping the interpreted kernel statistically
+faithful for chi^2 validation.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_network_quantum_state_tpu.ops import cplx
 from neural_network_quantum_state_tpu.ops.cplx import C
 from neural_network_quantum_state_tpu.ops.engine import Cache, Work
-from neural_network_quantum_state_tpu.ops.fastmath import fast_cos
+from neural_network_quantum_state_tpu.ops.fastmath import fast_atan2, fast_cos, fast_sin
 
 _LN2 = 0.6931471805599453
 _INV24 = float(2.0**-24)
@@ -57,9 +60,47 @@ def _logcosh_re(x, y):
     return 0.5 * jnp.log(mag2) + (absx - _LN2)
 
 
+def _logcosh_both(x, y):
+    """(Re, Im) of ln cosh(x+iy) - the FFNN-family path: complex output
+    weights c make Re(c * lncosh) depend on Im lncosh, so the accept chain
+    needs both planes. Im uses the polynomial fast_atan2 (Mosaic has no
+    atan2); same formulation as the fused energy kernel
+    (ops.pallas_energy._logcosh_both)."""
+    absx = jnp.abs(x)
+    sgn = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+    e = jnp.exp(-2.0 * absx)
+    wre = (1.0 + e) * fast_cos(y)
+    wim = (1.0 - e) * fast_sin(y) * sgn
+    re = 0.5 * jnp.log(wre * wre + wim * wim) + (absx - _LN2)
+    im = fast_atan2(wim, wre)
+    return re, im
+
+
+def _fmix32(h):
+    """murmur3 finalizer: full-avalanche bijection on uint32."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_bits(seed_u32, t, shape):
+    """Counter-based stateless PRNG over (seed, step, walker-lane): two
+    chained murmur3 avalanches. Used in interpret mode, where the TPU
+    hardware PRNG (pltpu.prng_random_bits) is unavailable and would return
+    zero bits - an accept-all sampler that silently passes finiteness
+    checks but is statistically wrong. This makes the interpreted kernel a
+    faithful statistical model of the accept chain (chi^2-testable)."""
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    x = _fmix32(lanes ^ (seed_u32 * jnp.uint32(0x9E3779B9)))
+    return _fmix32(x + t.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+
+
 def _sweep_kernel(
     sched_ref,  # (n_steps,) int32, scalar-prefetched (SMEM)
-    seed_ref,  # (1,) int32, scalar-prefetched
+    seed_ref,  # (n_blocks,) int32, scalar-prefetched: per-block threefry-derived seeds
     wre_ref,
     wim_ref,  # (N, H) VMEM, full
     are_ref,
@@ -79,6 +120,9 @@ def _sweep_kernel(
     osaim_ref,
     olnre_ref,  # outs (aliased shapes)
     oacc_ref,  # (n_blocks, 1) accept counts
+    *,
+    hash_prng: bool = False,
+    has_c: bool = False,
 ):
     n_steps = sched_ref.shape[0]
     # bring state into the output refs; all updates happen in-place there
@@ -88,18 +132,31 @@ def _sweep_kernel(
     osare_ref[:] = sare_ref[:]
     osaim_ref[:] = saim_ref[:]
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 99991)
+    # per-block seed: an independent threefry-derived 31-bit value per grid
+    # program (computed by the caller), NOT a linear offset of one seed -
+    # adjacent linear seeds of a counter PRNG have no independence guarantee
+    # (reference contract: TRNG4 block-splitting gives provably disjoint
+    # streams, impl_mcmc_sampler.hpp:18-24)
+    block_seed = seed_ref[pl.program_id(0)]
+    if not hash_prng:
+        pltpu.prng_seed(block_seed)
     cre = cre_ref[:]  # (1, H)
     cim = cim_ref[:]
 
     # Re ln psi_0 computed IN-KERNEL (not taken from the XLA lnpsi input) so
     # the whole accept chain ln1 - ln0 uses one logcosh implementation - the
     # TPU library-vs-polynomial transcendental difference would otherwise
-    # accumulate over H without cancelling. (The accept chain needs only Re;
-    # Mosaic has no atan2, so Im ln psi is recomputed outside the kernel.)
-    olnre_ref[:] = (
-        jnp.sum(cre * _logcosh_re(yre_ref[:], yim_ref[:]), axis=1, keepdims=True) + sare_ref[:]
-    )
+    # accumulate over H without cancelling. (The accept chain needs only
+    # Re ln psi; the final complex ln psi is recomputed outside the kernel.)
+    if has_c:
+        # FFNN family: Re(c * lncosh) = cre*Re - cim*Im needs both planes
+        # (reference FFNN kernels, gpu/include/neural_quantum_state.cuh:261-373)
+        l0re, l0im = _logcosh_both(yre_ref[:], yim_ref[:])
+        olnre_ref[:] = jnp.sum(cre * l0re - cim * l0im, axis=1, keepdims=True) + sare_ref[:]
+    else:
+        olnre_ref[:] = (
+            jnp.sum(cre * _logcosh_re(yre_ref[:], yim_ref[:]), axis=1, keepdims=True) + sare_ref[:]
+        )
 
     def body(t, acc):
         site = sched_ref[t]
@@ -109,18 +166,22 @@ def _sweep_kernel(
         wi = wim_ref[pl.ds(site, 1), :]
         y1re = oyre_ref[:] - two_s * wr
         y1im = oyim_ref[:] - two_s * wi
-        lyre = _logcosh_re(y1re, y1im)
-        # Re of the c-weighted hidden reduction; machines with complex
-        # output weights (FFNN) contribute cim * Im(logcosh), computed via
-        # the atan-free identity Im lncosh(x+iy) = atan(tanh x * tan y)
-        # with quadrant correction folded into a second Re-style term only
-        # when cim is nonzero (flagged statically by the caller).
-        ln1re = jnp.sum(cre * lyre, axis=1, keepdims=True)
+        if has_c:
+            # complex output weights (FFNN family): Re(c * lncosh) needs
+            # both planes of lncosh
+            lyre, lyim = _logcosh_both(y1re, y1im)
+            ln1re = jnp.sum(cre * lyre - cim * lyim, axis=1, keepdims=True)
+        else:
+            lyre = _logcosh_re(y1re, y1im)
+            ln1re = jnp.sum(cre * lyre, axis=1, keepdims=True)
         ar = are_ref[pl.ds(site, 1), :]  # (1, 1)
         ln1re = ln1re + osare_ref[:] - two_s * ar
 
         dln = ln1re - olnre_ref[:]  # (BK, 1)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(dln.shape), jnp.uint32)
+        if hash_prng:
+            bits = _hash_bits(block_seed.astype(jnp.uint32), t, dln.shape)
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(dln.shape), jnp.uint32)
         # top 24 bits -> [0,1): shift fits in int32 (Mosaic can't cast u32->f32)
         u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV24
         accept = u < jnp.exp(2.0 * jnp.minimum(dln, 0.0))
@@ -155,15 +216,28 @@ def pallas_sweeps(
 ):
     """Run n_sweeps fused sweeps; returns (cache, lnpsi, n_accepted).
 
-    Supports machines whose hidden reduction is real-weighted (c is None -
-    the whole RBM family); FFNN-family machines (complex output weights
-    need Im log-cosh in-kernel, which Mosaic's op set can't express without
-    atan2) use the XLA sweep instead.
+    Supports every log-cosh machine: RBM family (c is None - the accept
+    chain tracks only Re ln psi via the 3-transcendental magnitude form)
+    and FFNN family (complex output weights c - both lncosh planes are
+    computed in-kernel, Im via the polynomial fast_atan2, mirroring the
+    reference's dedicated FFNN kernel set,
+    gpu/include/neural_quantum_state.cuh:261-373).
     """
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas sweep is float32-only"
-    assert work.c is None, "fused sweep supports c=None (RBM-family) machines"
+    has_c = work.c is not None
+    # x64 mode (mixed-precision SR drivers) makes BlockSpec index maps emit
+    # i64, which Mosaic cannot legalize ('failed to legalize func.func' with
+    # i64 returns, observed on v5e); every value here is explicitly
+    # f32/int32, so trace this whole call with x64 off.
+    with jax.enable_x64(False):
+        return _pallas_sweeps_body(
+            work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c
+        )
+
+
+def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c):
     if block_k is None:
         # adaptive: keep each (BK, H) VMEM temporary around 1 MB so the
         # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H
@@ -174,9 +248,19 @@ def pallas_sweeps(
     n_blocks = k // block_k
 
     full_sched = jnp.tile(jnp.asarray(schedule, jnp.int32), n_sweeps)
+    # independent per-block seeds via threefry (NOT seed + block*const): each
+    # grid program gets a decorrelated stream, mirroring the reference's
+    # TRNG4 jump-stream contract (impl_mcmc_sampler.hpp:18-24)
+    block_seeds = jax.random.randint(
+        jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32)),
+        (n_blocks,),
+        0,
+        2**31 - 1,
+        jnp.int32,
+    )
 
     a = work.a if work.a is not None else cplx.zeros((n,), jnp.float32)
-    c = C(jnp.ones((h,), jnp.float32), jnp.zeros((h,), jnp.float32))
+    c = work.c if has_c else C(jnp.ones((h,), jnp.float32), jnp.zeros((h,), jnp.float32))
 
     # index maps receive (grid index, *scalar_prefetch_refs)
     state_spec = lambda cols: pl.BlockSpec((block_k, cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -221,14 +305,16 @@ def pallas_sweeps(
     ]
 
     outs = pl.pallas_call(
-        _sweep_kernel,
+        # interpret mode swaps the HW PRNG for a counter-hash PRNG so the
+        # interpreted kernel is statistically faithful (chi^2-testable)
+        functools.partial(_sweep_kernel, hash_prng=interpret, has_c=has_c),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # TPU-emulating interpreter (needed for pltpu.prng_* off-TPU)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         full_sched,
-        jnp.asarray(seed, jnp.int32).reshape((1,)),
+        block_seeds,
         work.w.re,
         work.w.im,
         a.re.reshape(n, 1),
@@ -247,9 +333,8 @@ def pallas_sweeps(
     # fused elementwise pass): downstream consumers (local energy, SR) mix
     # it with XLA-computed lnpsi1 values, so it must be XLA-flavored; the
     # kernel's running Re-ln-psi is internal to the accept chain.
+    from neural_network_quantum_state_tpu.ops.engine import _hidden_sum
+
     ly = cplx.clogcosh(new_cache.y)
-    new_lnpsi = C(
-        jnp.sum(ly.re, axis=-1) + new_cache.sa.re,
-        jnp.sum(ly.im, axis=-1) + new_cache.sa.im,
-    )
+    new_lnpsi = _hidden_sum(work, ly) + new_cache.sa
     return new_cache, new_lnpsi, jnp.sum(acc)

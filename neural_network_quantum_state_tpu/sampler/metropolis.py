@@ -131,15 +131,21 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
 
     def sweeps_fn(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> MCState:
         def local_body(work, cache, lnpsi, sched, seed):
-            dev_seed = seed[0] + jax.lax.axis_index(axis_name) * jnp.int32(7919)
+            # seed arrives pre-sliced to this device's own threefry-derived
+            # value (in_spec P(axis) below) - no linear-offset seed arithmetic
             block_k = min(1024, cache.spins.shape[0])
             cache, lnpsi, n_acc = pallas_sweeps(
-                work, cache, lnpsi, sched, dev_seed, n_sweeps, block_k=block_k, interpret=interpret
+                work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=block_k, interpret=interpret
             )
             return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
 
         key, sub = jax.random.split(state.key)
-        seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+        n_dev = int(mesh.shape[axis_name])
+        # one independent 31-bit seed per device, drawn from the threefry
+        # chain (reference contract: disjoint TRNG4 block streams,
+        # impl_mcmc_sampler.hpp:18-24); each device then derives independent
+        # per-block seeds from its own value inside pallas_sweeps
+        dev_seeds = jax.random.randint(sub, (n_dev,), 0, 2**31 - 1, jnp.int32)
         state_specs = Cache(spins=w_spec, y=C(w_spec, w_spec), sa=C(w_spec, w_spec))
         ln_specs = C(w_spec, w_spec)
         repl = P()
@@ -147,12 +153,12 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
         mapped = shard_map(
             local_body,
             mesh=mesh,
-            in_specs=(work_specs, state_specs, ln_specs, repl, repl),
+            in_specs=(work_specs, state_specs, ln_specs, repl, w_spec),
             out_specs=(state_specs, ln_specs, repl),
             # pallas_call out_shapes carry no varying-mesh-axes metadata
             check_vma=False,
         )
-        cache, lnpsi, n_acc = mapped(work, state.cache, state.lnpsi, jnp.asarray(schedule, jnp.int32), seed)
+        cache, lnpsi, n_acc = mapped(work, state.cache, state.lnpsi, jnp.asarray(schedule, jnp.int32), dev_seeds)
         n_steps = n_sweeps * schedule.shape[0]
         k = state.lnpsi.re.shape[0]
         return MCState(

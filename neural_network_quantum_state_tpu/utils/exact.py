@@ -128,3 +128,24 @@ def spins_to_index(spins: np.ndarray) -> np.ndarray:
     n = spins.shape[-1]
     bits = ((1.0 - spins) / 2).astype(np.int64)
     return (bits << np.arange(n)).sum(axis=-1)
+
+
+def tfi_chain_exact_energy(n: int, h: float, j: float) -> float:
+    """Exact ground-state energy of the PBC transverse-field Ising chain at
+    any N via Jordan-Wigner free fermions (Pfeuty, Ann. Phys. 57, 79 (1970)):
+
+        E0 = -sum_m sqrt(J^2 + h^2 - 2|Jh| cos k_m),  k_m = (2m+1) pi / N,
+        m = 0..N-1
+
+    (the even-fermion-parity / antiperiodic momentum sector, which holds the
+    finite-N ground state). Sign conventions match hamiltonians.TFIChain:
+    H = J sum_i s_i s_{i+1} + h-term; for even N both sign choices of J and
+    h are gauge-equivalent (sublattice / global rotations), so only |J|,|h|
+    enter. Dense ED (tfi_chain_dense) covers N <= ~14; this covers N = 16+
+    exactly (validated against ED in tests/test_utils.py)."""
+    if n % 2 == 1:
+        raise ValueError("even N required (sublattice gauge for the J sign)")
+    m = np.arange(n)
+    k = (2.0 * m + 1.0) * np.pi / n
+    eps = np.sqrt(j * j + h * h - 2.0 * abs(j * h) * np.cos(k))
+    return float(-np.sum(eps))

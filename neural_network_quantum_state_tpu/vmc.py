@@ -23,6 +23,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neural_network_quantum_state_tpu.hamiltonians.base import Hamiltonian
 from neural_network_quantum_state_tpu.models.base import Machine
@@ -62,8 +63,25 @@ class VMCConfig:
     # the per-iteration host round trip (the dominant cost on remote/TPU
     # dispatch for small systems). RSD early stop is checked per chunk.
     steps_per_host_loop: int = 1
-    # Pallas fused-sweep sampling (f32 RBM-family machines on TPU)
+    # Pallas fused-sweep sampling (f32 machines on TPU; RBM and FFNN families)
     use_fused_sweeps: bool = False
+    # Mixed-precision SR (the reference trains in double end-to-end - all
+    # drivers instantiate <double>, gpu/src/LICH-train_rbmtrsymm.cu:91; on
+    # TPU these recover that accuracy while keeping the f32 sweep hot path):
+    #
+    # solve_dtype=jnp.float64: the S/F reductions and the solve run in f64
+    #   (O_k and local energy are cast after being computed in the energy
+    #   dtype). Cheap - the f64 work is O(KV) casts + the O(V) solve - and
+    #   fixes the dominant f32 failure mode (CG on ill-conditioned S).
+    # energy_dtype=jnp.float64: additionally recompute lnpsi, the local
+    #   energy and O_k in f64 (one widened forward + the N-forward flip
+    #   tensor in f64). Exact given the f32 params, but f64 transcendentals
+    #   are emulated on TPU (~70x the f32 energy at N=64) - use as the
+    #   high-precision anchor mode.
+    #
+    # Both require jax_enable_x64. dx is cast back to the machine dtype.
+    solve_dtype: Optional[Any] = None
+    energy_dtype: Optional[Any] = None
     seed: int = 0
 
 
@@ -87,11 +105,25 @@ class VMC:
         # parallel tempering (config.n_beta > 1)
         if config.n_beta > 1 and config.n_walkers % config.n_beta != 0:
             raise ValueError("n_walkers must be a multiple of n_beta")
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values()))) if hasattr(mesh, "shape") else mesh.devices.size
+            if config.n_walkers % (n_dev * config.n_beta) != 0:
+                raise ValueError(
+                    f"n_walkers ({config.n_walkers}) must be a multiple of "
+                    f"mesh devices * n_beta ({n_dev} * {config.n_beta}) so the "
+                    "walker shards (and the beta=1 estimator slice) divide evenly"
+                )
         if config.n_accumulations > 1:
             if config.solver not in ("lu", "cholesky", "svd"):
                 raise ValueError("n_accumulations > 1 requires a dense solver (reference parity)")
             if config.n_beta > 1:
                 raise NotImplementedError("accumulated dense SR + parallel tempering")
+        for knob in (config.solve_dtype, config.energy_dtype):
+            if knob is not None and jnp.dtype(knob) == jnp.float64 and not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "solve_dtype/energy_dtype=float64 requires jax_enable_x64 "
+                    "(jax.config.update('jax_enable_x64', True) before building the VMC)"
+                )
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
             if config.n_beta > 1:
                 raise NotImplementedError("parallel tempering + exchange sampler")
@@ -160,6 +192,39 @@ class VMC:
     def _build_step(self):
         machine, ham, cfg = self.machine, self.hamiltonian, self.config
         mesh = self.mesh
+        rdt = jnp.dtype(machine.real_dtype)
+        edt = rdt if cfg.energy_dtype is None else jnp.dtype(cfg.energy_dtype)
+        sdt = edt if cfg.solve_dtype is None else jnp.dtype(cfg.solve_dtype)
+        sdt = max(sdt, edt, key=lambda d: jnp.finfo(d).bits)  # solve never narrower
+
+        def estimator_terms(params, cache, lnpsi):
+            """(htilda, o_mat) for one sampling round: local energy and O_k
+            in cfg.energy_dtype, then cast to cfg.solve_dtype for the S/F
+            reductions and the solve."""
+            if edt == rdt:
+                work = machine.make_work(params)
+            else:
+                params = jax.tree_util.tree_map(lambda x: x.astype(edt), params)
+                work = machine.make_work(params)
+                with jax.named_scope("widen_forward"):
+                    # one widened (K,N)x(N,H) GEMM pair: given f32 inputs the
+                    # f64 y/lnpsi are exact, so local energy and O_k carry
+                    # only statistical (not roundoff) error
+                    cache, lnpsi = engine.full_forward(work, cache.spins.astype(edt))
+            with jax.named_scope("local_energy"):
+                if mesh is not None:
+                    # shard_map over the walker axis: per-shard fused kernels
+                    # run where eligible; no collectives (local energy has no
+                    # cross-walker terms)
+                    htilda = ham.local_energy_sharded(work, cache, lnpsi, mesh)
+                else:
+                    htilda = ham.local_energy(work, cache, lnpsi)
+            with jax.named_scope("grad_log"):
+                o_mat = machine.grad_log(params, cache)
+                o_mat = meshlib.constrain_walkers(o_mat, mesh)
+            if sdt != edt:
+                htilda, o_mat = htilda.astype(sdt), o_mat.astype(sdt)
+            return htilda, o_mat
 
         def step_body(params, state: metropolis.MCState, step_idx: jnp.ndarray):
             # named scopes: per-phase visibility in jax.profiler traces
@@ -174,17 +239,37 @@ class VMC:
                 est_lnpsi = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.lnpsi)
             else:
                 est_cache, est_lnpsi = state.cache, state.lnpsi
-            with jax.named_scope("local_energy"):
-                htilda = ham.local_energy(work, est_cache, est_lnpsi)
-            with jax.named_scope("grad_log"):
-                o_mat = machine.grad_log(params, est_cache)
-                o_mat = meshlib.constrain_walkers(o_mat, mesh)
+            htilda, o_mat = estimator_terms(params, est_cache, est_lnpsi)
             havg, rsd = energy_and_rsd(htilda)
-            lam = lambda_schedule(step_idx, dtype=machine.real_dtype)
+            lam = lambda_schedule(step_idx, dtype=sdt)
             cg_iters = jnp.zeros((), jnp.int32)
             if cfg.solver == "cg":
                 dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=min(cfg.cg_max_iters, machine.n_vars))
                 cg_iters = res.iterations
+            elif cfg.solver == "auto":
+                # CG with MINRES-QLP fallback: CG is the cheap workhorse
+                # (reference default, SURVEY.md 2.6); when it exhausts its
+                # iteration cap the sampled S is too ill-conditioned for CG
+                # (observed at large V: N=128, V=517 - docs/BACKLOG.md) and
+                # the min-length MINRES-QLP solve takes over (the reference's
+                # large-V backend, cpu/include/minresqlp.hpp:74-135). Both
+                # branches compile; only the taken one executes per step.
+                from neural_network_quantum_state_tpu.optim.minres import sr_minres_solve
+
+                cap = min(cfg.cg_max_iters, machine.n_vars)
+                dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cap)
+
+                def _qlp_fallback(_):
+                    dx2, r2 = sr_minres_solve(
+                        o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cfg.cg_max_iters
+                    )
+                    return dx2, r2.iterations.astype(jnp.int32)
+
+                def _keep_cg(_):
+                    return dx, jnp.zeros((), jnp.int32)
+
+                dx, extra = jax.lax.cond(res.iterations >= cap, _qlp_fallback, _keep_cg, None)
+                cg_iters = res.iterations + extra
             elif cfg.solver == "minresqlp":
                 from neural_network_quantum_state_tpu.optim.minres import sr_minres_solve
 
@@ -198,13 +283,14 @@ class VMC:
                 samples = [(o_mat, htilda)]
                 for _ in range(cfg.n_accumulations - 1):
                     state = self._sweep(work, state, cfg.n_sweeps_per_step)
-                    ht_r = ham.local_energy(work, state.cache, state.lnpsi)
-                    om_r = meshlib.constrain_walkers(machine.grad_log(params, state.cache), mesh)
+                    ht_r, om_r = estimator_terms(params, state.cache, state.lnpsi)
                     samples.append((om_r, ht_r))
                 dx = sr_dense_solve_accumulated(samples, lam, dense_solvers.SOLVERS[cfg.solver])
                 havg, rsd = energy_and_rsd(cplx.concat([h for _, h in samples], axis=0))
             else:
                 dx = sr_dense_solve(o_mat, htilda, lam, dense_solvers.SOLVERS[cfg.solver])
+            if sdt != rdt:
+                dx = dx.astype(machine.real_dtype)  # narrow for the update
             if cfg.max_dx_norm is not None:
                 # Trust region (robustness beyond the reference): when the
                 # walker distribution collapses, diag(S) -> 0 and the

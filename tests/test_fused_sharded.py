@@ -46,8 +46,146 @@ def test_vmc_mesh_fused_end_to_end():
     params, state = vmc.init()
     state = vmc.warm_up(params, state, 20)
     params, state, hist, _ = vmc.run(params, state, 15)
-    # NOTE: the interpreter's Pallas PRNG yields zeros (accept-all), so the
-    # sampling statistics are wrong off-TPU; this checks the sharded program
-    # compiles, runs and stays finite. Convergence is validated on hardware
-    # (verify skill) and by the single-device XLA-path e2e tests.
     assert all(np.isfinite(h["energy"]) for h in hist)
+
+
+def _tiny_sharded_sampler(n, k, seed=0):
+    """Random small RBM + sharded fused sampler on the full virtual mesh."""
+    from neural_network_quantum_state_tpu.models import RBM
+    from neural_network_quantum_state_tpu.ops.rng import random_spins
+
+    machine = RBM(n_inputs=n, n_hiddens=2 * n, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(seed))
+    # scale up so |psi|^2 is genuinely non-uniform (init is ~N(0, 0.1/fan))
+    params = jax.tree_util.tree_map(lambda x: 4.0 * x, params)
+    mesh = nqs.parallel.make_mesh()
+    spins = random_spins(jax.random.PRNGKey(seed + 1), k, n, jnp.float32)
+    work = machine.make_work(params)
+    state = metropolis.init_state(work, spins, jax.random.PRNGKey(seed + 2))
+    state = nqs.parallel.shard_walker_tree(state, mesh, k)
+    work = machine.make_work(nqs.parallel.shard_walker_tree(params, mesh, k))
+    fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=True)
+    sched = jnp.arange(n, dtype=jnp.int32)
+    return work, state, fused, sched
+
+
+def test_sharded_fused_sampling_matches_psi2_chi2():
+    """Statistical correctness THROUGH make_fused_sharded_sweeps on the
+    8-device mesh (VERDICT round-1 item 3): the pooled multi-device sample
+    histogram must match |psi|^2 (chi^2 + total-variation). The reference
+    contract is the Metropolis accept chain of impl_mcmc_sampler.cuh:84-103.
+    A biased accept chain (e.g. the old interpret-mode zero-bit PRNG's
+    accept-all behavior) fails this by orders of magnitude."""
+    n, k = 4, 1024
+    work, state, fused, sched = _tiny_sharded_sampler(n, k)
+
+    # exact |psi|^2 over all 2^n configurations
+    confs = np.array([[1.0 - 2.0 * ((i >> b) & 1) for b in range(n)] for i in range(2**n)], np.float32)
+    ln = engine.log_psi(work, jnp.asarray(confs))
+    p = np.exp(2.0 * np.asarray(ln.re, np.float64))
+    p /= p.sum()
+
+    state = fused(work, state, sched, 30)  # warm-up
+    counts = np.zeros(2**n)
+    n_draws = 40
+    bit_w = np.asarray([1 << b for b in range(n)])
+    for _ in range(n_draws):
+        state = fused(work, state, sched, 2)
+        s = np.asarray(state.cache.spins)
+        idx = ((1.0 - s) / 2.0 @ bit_w).astype(int)
+        counts += np.bincount(idx, minlength=2**n)
+    total = counts.sum()
+    expected = total * p
+    chi2 = float(np.sum((counts - expected) ** 2 / expected))
+    dof = 2**n - 1
+    tv = 0.5 * float(np.abs(counts / total - p).sum())
+    # walkers are independent chains; successive draws of one walker are
+    # weakly correlated (2 full sweeps apart), so allow chi2/dof well above 1
+    assert chi2 / dof < 3.0, (chi2, dof, tv)
+    assert tv < 0.03, tv
+
+
+def test_sharded_fused_streams_are_device_independent():
+    """Inter-device stream independence (VERDICT round-1 item 3): devices
+    start from IDENTICAL walker states; if per-device PRNG streams were
+    identical (or strongly correlated), their trajectories would coincide."""
+    n = 8
+    n_dev = len(jax.devices())
+    per_dev = 64
+    k = n_dev * per_dev
+    from neural_network_quantum_state_tpu.models import RBM
+
+    machine = RBM(n_inputs=n, n_hiddens=16, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(3))
+    mesh = nqs.parallel.make_mesh()
+    # identical initial configuration for every walker on every device
+    spins = jnp.ones((k, n), jnp.float32)
+    work = machine.make_work(params)
+    state = metropolis.init_state(work, spins, jax.random.PRNGKey(4))
+    state = nqs.parallel.shard_walker_tree(state, mesh, k)
+    work = machine.make_work(nqs.parallel.shard_walker_tree(params, mesh, k))
+    fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=True)
+    sched = jnp.arange(n, dtype=jnp.int32)
+
+    # equilibrate first: the shared relaxation transient from the common
+    # initial state would correlate ALL chains (even perfectly independent
+    # ones) through the deterministic decay trend
+    state = fused(work, state, sched, 30)
+
+    # time series of per-walker magnetization
+    traj = []
+    for _ in range(32):
+        state = fused(work, state, sched, 1)
+        traj.append(np.asarray(state.cache.spins).mean(axis=1))
+    traj = np.stack(traj)  # (T, K)
+    shards = traj.reshape(traj.shape[0], n_dev, per_dev)
+
+    # 1) trajectories must differ across devices (identical streams -> equal)
+    for d in range(1, n_dev):
+        assert not np.array_equal(shards[:, 0, :], shards[:, d, :]), d
+
+    # 2) cross-device pair correlations must be indistinguishable from the
+    # WITHIN-device baseline (walkers on one device are independent chains
+    # by construction: independent lanes of one PRNG block). A residual
+    # common relaxation trend inflates both identically; per-device stream
+    # reuse would inflate only the cross distribution.
+    def corr(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        den = np.sqrt((a * a).sum() * (b * b).sum())
+        return float((a * b).sum() / den) if den > 0 else 0.0
+
+    cross = [corr(shards[:, 0, i], shards[:, d, i]) for d in range(1, n_dev) for i in range(0, per_dev, 4)]
+    within = [corr(shards[:, 0, i], shards[:, 0, j]) for i in range(0, per_dev, 4) for j in range(i + 1, per_dev, 8)]
+    assert abs(np.mean(cross) - np.mean(within)) < 0.12, (np.mean(cross), np.mean(within))
+
+
+def test_hash_prng_streams_uniform_and_decorrelated():
+    """Direct test of the interpret-mode counter PRNG (and of the
+    adjacent-seed risk VERDICT flagged for linear seed offsets): streams
+    from ADJACENT integer seeds must be uniform and uncorrelated."""
+    from neural_network_quantum_state_tpu.ops.pallas_sweep import _hash_bits
+
+    t_steps, lanes = 256, 64
+
+    def stream(seed):
+        rows = [
+            np.asarray(_hash_bits(jnp.uint32(seed), jnp.int32(t), (lanes, 1)))[:, 0]
+            for t in range(t_steps)
+        ]
+        return np.stack(rows).astype(np.uint64)  # (T, lanes)
+
+    s0, s1 = stream(12345), stream(12346)  # adjacent seeds
+    # uniformity: chi^2 over 16 bins of the top 4 bits
+    bins0 = np.bincount(((s0 >> np.uint64(28)) & np.uint64(15)).astype(np.int64).ravel(), minlength=16)
+    total = bins0.sum()
+    chi2 = float(((bins0 - total / 16) ** 2 / (total / 16)).sum())
+    assert chi2 / 15 < 2.0, chi2
+    # decorrelation between adjacent-seed streams: uniforms in [0,1)
+    u0 = (s0 >> np.uint64(8)).astype(np.float64) * 2.0**-24
+    u1 = (s1 >> np.uint64(8)).astype(np.float64) * 2.0**-24
+    c = np.corrcoef(u0.ravel(), u1.ravel())[0, 1]
+    assert abs(c) < 0.02, c
+    # and between lanes within one stream
+    c_lane = np.corrcoef(u0[:, 0], u0[:, 1])[0, 1]
+    assert abs(c_lane) < 0.15, c_lane

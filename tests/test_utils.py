@@ -94,3 +94,18 @@ def test_metrics_logger(tmp_path):
         log.log(1, energy=-1.30, rsd=0.05, cg_iters=6)
     recs = [json.loads(l) for l in open(path)]
     assert recs[0]["energy"] == -1.25 and recs[1]["step"] == 1
+
+
+def test_tfi_exact_energy_matches_dense_ed():
+    """Jordan-Wigner closed form (any even N) vs dense ED (small N)."""
+    from neural_network_quantum_state_tpu.utils.exact import (
+        ground_energy,
+        tfi_chain_dense,
+        tfi_chain_exact_energy,
+    )
+
+    for n in (4, 6, 8, 10):
+        for (h, j) in ((-1.0, -1.0), (-0.7, -1.0), (-1.3, 1.0), (-0.3, -1.0)):
+            ed = ground_energy(tfi_chain_dense(n, h=h, j=j))
+            an = tfi_chain_exact_energy(n, h, j)
+            assert abs(ed - an) < 1e-10, (n, h, j, ed, an)
