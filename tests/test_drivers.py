@@ -165,3 +165,67 @@ def test_train_hubbard_with_trap(tmp_path):
     )
     assert len(row) == 4  # L=4 sites -> m = 0..3
     assert 0.0 <= row[0].real <= 1.0  # m=0 is a double occupancy
+
+
+def test_measure_driver_on_mesh_matches_single_device(tmp_path):
+    """drivers.measure -mesh=8: walker-sharded estimation through the CLI
+    agrees with the single-device run to statistical error (VERDICT round-1
+    item 4 done criterion)."""
+    res = train.main(
+        [
+            "-model=CH",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=128",
+            "-niter=60",
+            "-nwarm=60",
+            "-lr=2e-2",
+            "-dtype=float64",
+            f"-path={tmp_path}",
+            "-rsd=1e-9",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    common = [
+        "-what=stag", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=1024",
+        f"-prefix={prefix}", "-niter=25", "-nms=2", "-nwarm=100", "-dtype=float64",
+    ]
+    m1_s, _, _ = measure.main(common + ["-seed=3"])
+    m1_m, _, _ = measure.main(common + ["-seed=4", "-mesh=8"])
+    assert abs(m1_s - m1_m) < 0.05, (m1_s, m1_m)
+
+    # two-replica estimator through the CLI on the mesh
+    s2 = measure.main(
+        [
+            "-what=renyi", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=1024",
+            f"-prefix={prefix}", "-l=4", "-niter=10", "-nms=2", "-nwarm=50",
+            "-dtype=float64", "-mesh=8",
+        ]
+    )
+    assert np.isfinite(s2)
+
+
+def test_train_driver_on_mesh(tmp_path):
+    """drivers.train -mesh=8 + -solvedtype=float64: walker-sharded training
+    with the mixed-precision solve through the CLI."""
+    res = train.main(
+        [
+            "-model=CH",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=128",
+            "-niter=40",
+            "-nwarm=60",
+            "-lr=2e-2",
+            "-dtype=float32",
+            "-solvedtype=float64",
+            "-mesh=8",
+            f"-path={tmp_path}",
+            "-rsd=1e-9",
+        ]
+    )
+    energies = [h["energy"] for h in res[0]["history"]]
+    assert np.isfinite(energies[-1])
+    assert energies[-1] < energies[0]
