@@ -148,7 +148,7 @@ def main(argv=None):
 
         n_up, n_down = args.mfind("npar", int)
         site = args.find("site", int)
-        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed)
+        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
         l = machine.n_inputs // 2
         row = [
             opdm_pair(fs, site, m, niter, nms, nwarm if m == 0 else 0)

@@ -39,13 +39,20 @@ class FermionAmplitudeSampler:
         n_down: int,
         key: jax.Array | int = 0,
         per_flavor_rings: bool = True,
+        mesh=None,
     ):
+        """mesh: optional ``jax.sharding.Mesh`` - the walker axis shards
+        across it exactly like :class:`AmplitudeSampler`. The Kawasaki
+        proposal is walker-local (each chain picks its own bond from its own
+        spin state), so the exchange sweep needs no cross-device traffic;
+        only the estimator's mean lowers to a collective."""
         if machine.n_inputs % 2 != 0:
             raise ValueError("fermion machines need 2L inputs")
         self.machine = machine
         self.params = params
         self.work = machine.make_work(params)
         self.l = machine.n_inputs // 2
+        self.mesh = mesh
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         kinit, krun = jax.random.split(key)
@@ -60,12 +67,35 @@ class FermionAmplitudeSampler:
         )
         self.n_unit_steps = machine.n_inputs
         self.state = metropolis.init_state(self.work, spins, krun)
+        if mesh is not None:
+            from neural_network_quantum_state_tpu.parallel import mesh as meshlib
+
+            self.state = meshlib.shard_walker_tree(self.state, mesh, n_walkers)
+            self.work = machine.make_work(meshlib.shard_walker_tree(params, mesh, n_walkers))
 
     def warm_up(self, n_sweeps: int) -> None:
         self.do_mcmc_steps(n_sweeps)
 
     def do_mcmc_steps(self, n_sweeps: int) -> None:
         self.state = kawasaki.exchange_sweeps(self.work, self.state, self.bonds, n_sweeps, self.n_unit_steps)
+
+    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1):
+        """Run ``n_iterations`` of (advance n_sweeps; accum_fn(cache, lnpsi))
+        as ONE device computation (lax.scan), like
+        :meth:`AmplitudeSampler.run_estimator` - one dispatch per
+        measurement instead of one per iteration."""
+        work, bonds, nus = self.work, self.bonds, self.n_unit_steps
+
+        def body(state, _):
+            state = kawasaki.exchange_sweeps(work, state, bonds, n_sweeps, nus)
+            return state, accum_fn(state.cache, state.lnpsi)
+
+        @jax.jit
+        def runner(state):
+            return jax.lax.scan(body, state, None, length=n_iterations)
+
+        self.state, outs = runner(self.state)
+        return jax.device_get(outs)
 
     @property
     def spins(self) -> jnp.ndarray:
@@ -92,12 +122,11 @@ def opdm_pair(
     work = sampler.work
     sampler.warm_up(n_warmup)
 
-    @jax.jit
-    def local(spins, lnpsi):
-        s = spins
+    def local(cache, lnpsi):
+        s = cache.spins
         if m == 0:
             val = 0.25 * (1.0 + s[:, n]) * (1.0 + s[:, l + n])
-            return jnp.mean(val), jnp.zeros(())
+            return jnp.mean(val), jnp.zeros((), s.dtype)
         flipped = s.at[:, jnp.asarray([n, n + m, l + n, l + n + m])].multiply(-1.0)
         lnpsi1 = engine.log_psi(work, flipped)
         ratio = cplx.cexp(lnpsi1 - lnpsi)
@@ -112,9 +141,7 @@ def opdm_pair(
         )
         return jnp.mean(coeff * ratio.re), jnp.mean(coeff * ratio.im)
 
-    acc = 0.0 + 0.0j
-    for _ in range(n_iterations):
-        sampler.do_mcmc_steps(n_sweeps)
-        re, im = local(sampler.spins, sampler.lnpsi)
-        acc += complex(float(re), float(im))
-    return acc / n_iterations
+    # all iterations run device-side in one lax.scan (one dispatch), and the
+    # walker mean lowers to a mesh collective when the sampler is sharded
+    re, im = sampler.run_estimator(local, n_iterations, n_sweeps)
+    return complex(np.mean(re), np.mean(im))

@@ -59,6 +59,26 @@ def test_opdm_vs_exact():
         assert abs(got.imag - want.imag) < 0.03, (n, m, got, want)
 
 
+def test_opdm_on_mesh_matches_single_device():
+    """FermionAmplitudeSampler(mesh=...): the walker-sharded OPDM estimate
+    agrees with single-device to statistical error, and sector conservation
+    holds per shard."""
+    from neural_network_quantum_state_tpu.parallel import mesh as meshlib
+
+    machine = RBM(n_inputs=2 * L, n_hiddens=10, dtype=jnp.float64)
+    params = machine.init_params(jax.random.PRNGKey(4))
+    mesh = meshlib.make_mesh()
+    want = _exact_opdm(machine, params, 0, 1)
+    smp = FermionAmplitudeSampler(
+        machine, params, n_walkers=4096, n_up=N_UP, n_down=N_DN, key=7, mesh=mesh
+    )
+    got = opdm_pair(smp, 0, 1, n_iterations=25, n_sweeps=2, n_warmup=150)
+    assert abs(got.real - want.real) < 0.03, (got, want)
+    s = np.asarray(smp.spins)
+    assert np.all(((1 + s[:, :L]) / 2).sum(1) == N_UP)
+    assert np.all(((1 + s[:, L:]) / 2).sum(1) == N_DN)
+
+
 def test_fermion_sampler_conserves():
     machine = RBM(n_inputs=2 * L, n_hiddens=6, dtype=jnp.float64)
     params = machine.init_params(jax.random.PRNGKey(5))
