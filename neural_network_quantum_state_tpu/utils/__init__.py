@@ -3,8 +3,10 @@
 from neural_network_quantum_state_tpu.utils import checkpoint, cli, exact, metrics
 from neural_network_quantum_state_tpu.utils.checkpoint import (
     load_npz,
+    load_orbax,
     load_reference_text,
     save_npz,
+    save_orbax,
     save_reference_text,
 )
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
@@ -17,8 +19,10 @@ __all__ = [
     "cli",
     "exact",
     "load_npz",
+    "load_orbax",
     "load_reference_text",
     "metrics",
     "save_npz",
+    "save_orbax",
     "save_reference_text",
 ]

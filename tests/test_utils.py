@@ -66,6 +66,32 @@ def test_npz_roundtrip(tmp_path):
     np.testing.assert_allclose(v0, v1, rtol=1e-12)
 
 
+def test_orbax_roundtrip(tmp_path):
+    from neural_network_quantum_state_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    machine = RBM(n_inputs=5, n_hiddens=7, dtype=jnp.float64)
+    params = machine.init_params(jax.random.PRNGKey(2))
+    spins = jnp.ones((4, 5))
+    path = save_orbax(
+        str(tmp_path / "orbax_ckpt"), machine, params, step=7,
+        key=jax.random.PRNGKey(3), spins=spins, extra={"lnpsi_re": jnp.zeros((4,))},
+    )
+    p2, step, key, sp, extra = load_orbax(path, machine)
+    assert step == 7 and key is not None
+    np.testing.assert_array_equal(np.asarray(sp), np.asarray(spins))
+    assert extra is not None and "lnpsi_re" in extra
+    v0 = np.asarray(cplx.to_complex(machine.flatten_params(params)))
+    v1 = np.asarray(cplx.to_complex(machine.flatten_params(p2)))
+    np.testing.assert_allclose(v0, v1, rtol=1e-12)
+    # cross-dtype restore: f64-saved checkpoint into an f32 machine
+    m32 = RBM(n_inputs=5, n_hiddens=7, dtype=jnp.float32)
+    p32, _, _, _, _ = load_orbax(path, m32)
+    assert p32["w"].re.dtype == jnp.float32
+    # wrong machine rejected
+    with pytest.raises(ValueError):
+        load_orbax(path, FFNN(n_inputs=5, n_hiddens=7, dtype=jnp.float64))
+
+
 def test_npz_wrong_machine_rejected(tmp_path):
     m1 = RBM(n_inputs=5, n_hiddens=7, dtype=jnp.float64)
     m2 = FFNN(n_inputs=5, n_hiddens=7, dtype=jnp.float64)
