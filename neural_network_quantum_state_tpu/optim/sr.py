@@ -82,12 +82,18 @@ def sr_cg_solve(
     lam: jnp.ndarray,
     tol: float = 1e-5,
     max_iters: int = 1000,
+    precond_diag: jnp.ndarray | None = None,
 ) -> tuple[C, CGResult]:
     """Matrix-free SR solve: never materializes S (O(KV), not O(V^2)).
 
     The S.a operator is two walker-axis GEMV pairs plus a rank-1 correction
     and the scaled-diagonal regularization (SMatrixForCG::dot,
     functor_for_CG.hpp:66-97).
+
+    precond_diag: optional replacement diagonal for the preconditioner only
+    (e.g. a moving average of diag(S) across iterations - a smoother
+    estimate than one round's K samples give at large V). Regularization
+    always uses the CURRENT diag(S) (reference semantics).
     """
     k = o_mat.re.shape[0]
     f, a_o = force_vector(o_mat, htilda)
@@ -106,8 +112,9 @@ def sr_cg_solve(
     # exactly, and 1/((1+lam)*diag) then explodes the CG search directions
     # into f32 overflow. The reference divides unguarded
     # (functor_for_CG.hpp:94-97).
-    floor = 1e-10 * jnp.max(diag) + jnp.finfo(diag.dtype).tiny
-    diag_safe = jnp.maximum(diag, floor)
+    pdiag = diag if precond_diag is None else precond_diag.astype(diag.dtype)
+    floor = 1e-10 * jnp.max(pdiag) + jnp.finfo(diag.dtype).tiny
+    diag_safe = jnp.maximum(pdiag, floor)
 
     def precond(r: C) -> C:
         return cplx.rscale(1.0 / ((1.0 + lam) * diag_safe), r)

@@ -82,6 +82,13 @@ class VMCConfig:
     # Both require jax_enable_x64. dx is cast back to the machine dtype.
     solve_dtype: Optional[Any] = None
     energy_dtype: Optional[Any] = None
+    # >0: precondition CG with an exponential moving average of diag(S)
+    # (this decay per iteration) instead of the current round's noisy
+    # K-sample estimate - at large V each diagonal entry is estimated from
+    # K walkers and the relative noise scales the preconditioned spectrum.
+    # Regularization still uses the current diag(S) (reference semantics,
+    # functor_for_CG.hpp:82-97). cg/auto solvers only.
+    precond_ema: float = 0.0
     seed: int = 0
 
 
@@ -166,6 +173,14 @@ class VMC:
         self._sweep = sweep
         self._step_fn = self._build_step()
 
+    @property
+    def _ema_init(self):
+        """Fresh diag(S)-EMA carry (the jitted step donates its buffer, so
+        each run()/step chain needs its own; step 0 overwrites the seed)."""
+        if not self._use_ema:
+            return None
+        return jnp.ones((self.machine.n_vars,), self._ema_dtype)
+
     # ------------------------------------------------------------------
     def init(self, key: jax.Array | int | None = None):
         """Initialize params + sampler state (machine.initialize + Hamiltonian
@@ -226,7 +241,7 @@ class VMC:
                 htilda, o_mat = htilda.astype(sdt), o_mat.astype(sdt)
             return htilda, o_mat
 
-        def step_body(params, state: metropolis.MCState, step_idx: jnp.ndarray):
+        def step_body(params, state: metropolis.MCState, step_idx: jnp.ndarray, diag_ema=None):
             # named scopes: per-phase visibility in jax.profiler traces
             # (reference tracing is wall-clock-only, SURVEY.md 5)
             with jax.named_scope("sample"):
@@ -243,8 +258,20 @@ class VMC:
             havg, rsd = energy_and_rsd(htilda)
             lam = lambda_schedule(step_idx, dtype=sdt)
             cg_iters = jnp.zeros((), jnp.int32)
+            pdiag = None
+            if diag_ema is not None:
+                # EMA of diag(S): first step seeds with the current estimate
+                from neural_network_quantum_state_tpu.optim.sr import sr_diag
+
+                cur = sr_diag(o_mat, cplx.cmean(o_mat, axis=0))
+                rho = jnp.asarray(cfg.precond_ema, cur.dtype)
+                diag_ema = jnp.where(step_idx == 0, cur, rho * diag_ema + (1.0 - rho) * cur)
+                pdiag = diag_ema
             if cfg.solver == "cg":
-                dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=min(cfg.cg_max_iters, machine.n_vars))
+                dx, res = sr_cg_solve(
+                    o_mat, htilda, lam, tol=cfg.cg_tol,
+                    max_iters=min(cfg.cg_max_iters, machine.n_vars), precond_diag=pdiag,
+                )
                 cg_iters = res.iterations
             elif cfg.solver == "auto":
                 # CG with MINRES-QLP fallback: CG is the cheap workhorse
@@ -257,7 +284,7 @@ class VMC:
                 from neural_network_quantum_state_tpu.optim.minres import sr_minres_solve
 
                 cap = min(cfg.cg_max_iters, machine.n_vars)
-                dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cap)
+                dx, res = sr_cg_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cap, precond_diag=pdiag)
 
                 def _qlp_fallback(_):
                     dx2, r2 = sr_minres_solve(
@@ -321,25 +348,28 @@ class VMC:
             cache, lnpsi = engine.full_forward(work, state.cache.spins)
             state = state._replace(cache=cache, lnpsi=lnpsi)
             stats = SRStats(energy=havg, rsd=rsd, cg_iters=cg_iters, lam=lam)
-            return new_params, state, stats
+            return new_params, state, stats, diag_ema
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(params, state, step_idx):
-            return step_body(params, state, step_idx)
+        self._use_ema = cfg.precond_ema > 0.0 and cfg.solver in ("cg", "auto")
+        self._ema_dtype = sdt
+
+        @partial(jax.jit, donate_argnums=(1, 3))
+        def step(params, state, step_idx, diag_ema):
+            return step_body(params, state, step_idx, diag_ema)
 
         m = cfg.steps_per_host_loop
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(params, state, step0):
+        @partial(jax.jit, donate_argnums=(0, 1, 3))
+        def multi_step(params, state, step0, diag_ema):
             def scan_body(carry, i):
-                params, state = carry
-                params, state, stats = step_body(params, state, step0 + i)
-                return (params, state), stats
+                params, state, ema = carry
+                params, state, stats, ema = step_body(params, state, step0 + i, ema)
+                return (params, state, ema), stats
 
-            (params, state), stats = jax.lax.scan(
-                scan_body, (params, state), jnp.arange(m, dtype=jnp.int32)
+            (params, state, diag_ema), stats = jax.lax.scan(
+                scan_body, (params, state, diag_ema), jnp.arange(m, dtype=jnp.int32)
             )
-            return params, state, stats  # stats leaves stacked (m, ...)
+            return params, state, stats, diag_ema  # stats leaves stacked (m, ...)
 
         self._multi_step_fn = multi_step
         return step
@@ -365,15 +395,16 @@ class VMC:
         n = 0
         stop = False
         prev_acc, prev_prop = 0.0, 0.0
+        ema = self._ema_init
         while n < n_iterations and not stop:
             if m > 1 and n + m <= n_iterations:
-                params, state, stats_stack = self._multi_step_fn(params, state, jnp.asarray(n, jnp.int32))
+                params, state, stats_stack, ema = self._multi_step_fn(params, state, jnp.asarray(n, jnp.int32), ema)
                 # ONE host transfer for the whole chunk (per-scalar fetches
                 # pay the full dispatch latency each on remote backends)
                 stats_np = jax.device_get(stats_stack)
                 chunk = [jax.tree_util.tree_map(lambda x: x[i], stats_np) for i in range(m)]
             else:
-                params, state, stats = self._step_fn(params, state, jnp.asarray(n, jnp.int32))
+                params, state, stats, ema = self._step_fn(params, state, jnp.asarray(n, jnp.int32), ema)
                 chunk = [jax.device_get(stats)]
             # acceptance ratio over this chunk (CPU-stack parity:
             # optimizer.hpp:73 prints it per iteration)

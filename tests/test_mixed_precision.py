@@ -28,7 +28,7 @@ def test_solve_dtype_widens_estimators_keeps_params_f32():
     vmc = _build(solve_dtype=jnp.float64)
     params, state = vmc.init()
     state = vmc.warm_up(params, state, 50)
-    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc._ema_init)[:3]
     # estimator pipeline ran in f64 ...
     assert stats.energy.re.dtype == jnp.float64
     assert stats.lam.dtype == jnp.float64
@@ -48,8 +48,8 @@ def test_solve_dtype_matches_f32_energy_estimate():
     # same params/state through both step functions: compare energy stats
     # (the step donates its state buffers, so give each call its own copy)
     state_copy = jax.tree_util.tree_map(jnp.copy, state)
-    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32))
-    _, _, s64 = vmc64._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc32._ema_init)[:3]
+    _, _, s64 = vmc64._step_fn(params, state_copy, jnp.asarray(0, jnp.int32), vmc64._ema_init)[:3]
     # both steps sample one sweep from the same key -> identical walkers
     assert abs(float(s32.energy.re) - float(s64.energy.re)) < 1e-4 * abs(float(s64.energy.re))
 
@@ -75,7 +75,7 @@ def test_auto_solver_falls_back_to_minresqlp():
     vmc = _build(solver="auto", cg_max_iters=2)
     params, state = vmc.init()
     state = vmc.warm_up(params, state, 50)
-    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc._ema_init)[:3]
     # total iterations = 2 (CG, capped) + MINRES-QLP iterations (> 0)
     assert int(stats.cg_iters) > 2
     assert np.isfinite(float(stats.energy.re))
@@ -89,8 +89,8 @@ def test_auto_solver_equals_cg_when_cg_converges():
     params, state = vmc_cg.init()
     state = vmc_cg.warm_up(params, state, 50)
     state_copy = jax.tree_util.tree_map(jnp.copy, state)
-    p1, _, s1 = vmc_cg._step_fn(params, state, jnp.asarray(0, jnp.int32))
-    p2, _, s2 = vmc_auto._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    p1, _, s1 = vmc_cg._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc_cg._ema_init)[:3]
+    p2, _, s2 = vmc_auto._step_fn(params, state_copy, jnp.asarray(0, jnp.int32), vmc_auto._ema_init)[:3]
     assert int(s1.cg_iters) == int(s2.cg_iters)
     np.testing.assert_allclose(np.asarray(p1["w"].re), np.asarray(p2["w"].re), rtol=1e-6)
 
@@ -117,7 +117,7 @@ def test_energy_dtype_full_widen_path():
     vmc = _build(energy_dtype=jnp.float64)
     params, state = vmc.init()
     state = vmc.warm_up(params, state, 50)
-    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32))
+    params, state, stats = vmc._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc._ema_init)[:3]
     assert stats.energy.re.dtype == jnp.float64
     assert params["w"].re.dtype == jnp.float32
     assert np.isfinite(float(stats.energy.re))
@@ -131,8 +131,8 @@ def test_solve_dtype_light_mode_casts_only():
     params, state = vmc32.init()
     state = vmc32.warm_up(params, state, 100)
     state_copy = jax.tree_util.tree_map(jnp.copy, state)
-    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32))
-    _, _, s64 = vmc_light._step_fn(params, state_copy, jnp.asarray(0, jnp.int32))
+    _, _, s32 = vmc32._step_fn(params, state, jnp.asarray(0, jnp.int32), vmc32._ema_init)[:3]
+    _, _, s64 = vmc_light._step_fn(params, state_copy, jnp.asarray(0, jnp.int32), vmc_light._ema_init)[:3]
     # the energy estimate is the f32 one, merely widened: equal to f32 eps
     assert abs(float(s32.energy.re) - float(s64.energy.re)) < 1e-5 * abs(float(s64.energy.re))
     assert s64.energy.re.dtype == jnp.float64

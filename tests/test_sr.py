@@ -117,3 +117,41 @@ def test_cg_generic_hermitian(rng):
     res = cg_solve(matvec, rhs, tol=1e-12, max_iters=500)
     want = np.linalg.solve(s_np, rhs_np)
     np.testing.assert_allclose(np.asarray(cplx.to_complex(res.x)), want, rtol=1e-8, atol=1e-10)
+
+
+def test_cg_custom_precond_diag_same_solution(rng):
+    """A precond_diag override changes only the preconditioner, never the
+    solution: same dx as the default to solver tolerance."""
+    o_c, e_c, o, e = _rand_oe(rng)
+    lam = jnp.asarray(0.05)
+    dx_ref, _ = sr_cg_solve(o_c, e_c, lam, tol=1e-12, max_iters=500)
+    smooth = jnp.ones((o.shape[1],), jnp.float64) * 0.7  # arbitrary positive
+    dx_p, res = sr_cg_solve(o_c, e_c, lam, tol=1e-12, max_iters=500, precond_diag=smooth)
+    np.testing.assert_allclose(
+        np.asarray(cplx.to_complex(dx_p)), np.asarray(cplx.to_complex(dx_ref)),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_vmc_precond_ema_converges():
+    """End-to-end: precond_ema=0.9 trains the N=8 TFI chain to the exact
+    energy like plain CG (the EMA is a preconditioner, not a solver change)."""
+    import jax
+
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.hamiltonians import TFIChain
+    from neural_network_quantum_state_tpu.models import RBM
+    from neural_network_quantum_state_tpu.utils.exact import ground_energy, tfi_chain_dense
+
+    n = 8
+    machine = RBM(n_inputs=n, n_hiddens=16, dtype=jnp.float64)
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    cfg = nqs.VMCConfig(n_walkers=256, learning_rate=2e-2, precond_ema=0.9,
+                        steps_per_host_loop=25, seed=3)
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 200)
+    params, state, history, _ = vmc.run(params, state, 400)
+    e = float(np.mean([h["energy"] for h in history[-20:]]))
+    e_exact = ground_energy(tfi_chain_dense(n, h=-1.0, j=-1.0))
+    assert abs(e - e_exact) / abs(e_exact) < 2e-3, (e, e_exact)
