@@ -8,9 +8,14 @@ estimators/solve, VMCConfig.solve_dtype) reproduces it to <=1e-4 relative
 energy.
 
 Runs both from the round-1 flagship checkpoint (warm start) and prints a
-JSON summary line. Usage:
+JSON summary line. The two arms can run in separate processes (the f64
+anchor on the f64-native CPU backend, the mixed arm on the chip - on-chip
+f64 transcendentals are emulated and ~70x slower):
 
-    python examples/precision_n64_anchor.py [niter] [ntail]
+    python examples/precision_n64_anchor.py both  [niter] [ntail]
+    python examples/precision_n64_anchor.py f64   [niter] [ntail]  # writes .anchor_f64.json
+    python examples/precision_n64_anchor.py mixed [niter] [ntail]  # writes .anchor_mixed.json
+    python examples/precision_n64_anchor.py report                 # combines the two files
 """
 
 from __future__ import annotations
@@ -66,11 +71,7 @@ def run(mode: str, niter: int, ntail: int) -> float:
     return e
 
 
-def main():
-    niter = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    ntail = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    e64 = run("f64", niter, ntail)
-    emix = run("mixed", niter, ntail)
+def _report(e64: float, emix: float) -> None:
     rel = abs(emix - e64) / abs(e64)
     print(json.dumps({
         "metric": "N64_LICH_energy_mixed_vs_f64_anchor_rel_err",
@@ -79,6 +80,24 @@ def main():
         "value": float(f"{rel:.3g}"),
         "unit": "rel_err",
     }))
+
+
+def main():
+    arm = sys.argv[1] if len(sys.argv) > 1 else "both"
+    niter = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    ntail = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    here = os.path.dirname(os.path.abspath(__file__))
+    if arm == "report":
+        e64 = json.load(open(os.path.join(here, ".anchor_f64.json")))["energy"]
+        emix = json.load(open(os.path.join(here, ".anchor_mixed.json")))["energy"]
+        _report(e64, emix)
+        return
+    if arm == "both":
+        _report(run("f64", niter, ntail), run("mixed", niter, ntail))
+        return
+    e = run(arm, niter, ntail)
+    with open(os.path.join(here, f".anchor_{arm}.json"), "w") as f:
+        json.dump({"arm": arm, "energy": e, "niter": niter, "ntail": ntail}, f)
 
 
 if __name__ == "__main__":

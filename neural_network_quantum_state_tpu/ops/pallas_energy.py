@@ -8,13 +8,12 @@ no atan/atan2, so Im ln cosh uses a range-reduced minimax polynomial atan
 (|err| ~1e-6 rad). RBM-family machines (c = None); both Re and Im of the
 ratios are produced (the local energy is complex).
 
-Measured on v5e at N=64/H=256/K=8192: 8.5 ms vs 6.8 ms for the XLA chunked
-path (hamiltonians.ising._offdiag_sum) - the computation is VPU
-*transcendental*-bound (exp/log/cos/sin/atan per element), not
-HBM-bandwidth-bound, so VMEM residency does not pay at these shapes and the
-XLA path stays the default. The kernel is kept (validated to 5e-7 relative)
-for bandwidth-bound regimes (very large H) and as the basis for a future
-fused sweep+energy kernel.
+Measured on v5e at N=64/H=256/K=8192: 5.84 ms vs 7.10 ms for the XLA
+chunked path (hamiltonians.ising._offdiag_sum) - the default f32-RBM
+path. History: the first VMEM-resident version lost to XLA (8.5 vs 6.8 ms,
+library cos/sin); polynomial fast_cos/fast_sin made it win (6.5 ms); the
+angle-addition identity (see _energy_kernel) shaved it to 5.84 ms.
+Validated to ~3e-6 relative against the XLA path.
 """
 
 from __future__ import annotations
@@ -56,6 +55,8 @@ def _energy_kernel(
     sched_ref,  # (n_sites,) int32 scalar-prefetch (site list)
     wre_ref,
     wim_ref,  # (N, H)
+    c2w_ref,
+    s2w_ref,  # (N, H): cos(2*w_im), sin(2*w_im) precomputed by XLA
     are_ref,
     aim_ref,  # (N, 1)
     spins_ref,  # (N, BK) transposed
@@ -74,19 +75,49 @@ def _energy_kernel(
     # a single logcosh implementation, else the TPU library-vs-polynomial
     # transcendental difference accumulates over H without cancelling
     # (observed 7e-4 -> 4e-5 relative on the N=64 off-diagonal sum).
-    l0re, l0im = _logcosh_both(yre_ref[:], yim_ref[:])
+    #
+    # cos/sin of the candidate phase come from the angle-addition identity
+    # cos(y - 2sw) = cos y cos 2w + s sin y sin 2w (s = +-1), so the only
+    # per-site transcendentals are exp/log/atan2: cy/sy are computed ONCE
+    # per walker block and cos(2w)/sin(2w) once per estimate in XLA.
+    # Measured 6.24 -> 5.84 ms on v5e (N=64/H=256/K=8192): the win is
+    # modest because the loop is not purely transcendental-throughput
+    # bound at these shapes; accuracy unchanged (~3e-6 vs the XLA path).
+    x0 = yre_ref[:]
+    cy = fast_cos(yim_ref[:])
+    sy = fast_sin(yim_ref[:])
+    absx0 = jnp.abs(x0)
+    sgn0 = jnp.where(x0 < 0, -1.0, 1.0).astype(x0.dtype)
+    e0 = jnp.exp(-2.0 * absx0)
+    wre0 = (1.0 + e0) * cy
+    wim0 = (1.0 - e0) * sy * sgn0
+    l0re = 0.5 * jnp.log(wre0 * wre0 + wim0 * wim0) + (absx0 - _LN2)
+    l0im = _atan2(wim0, wre0)
     ln0re = jnp.sum(l0re, axis=1, keepdims=True) + sare_ref[:]
     ln0im = jnp.sum(l0im, axis=1, keepdims=True) + saim_ref[:]
 
     def body(t, _):
         site = sched_ref[t]
         srow = spins_ref[pl.ds(site, 1), :]  # (1, BK)
-        two_s = 2.0 * jnp.transpose(srow)  # (BK, 1)
+        s_col = jnp.transpose(srow)  # (BK, 1), +-1
+        two_s = 2.0 * s_col
         wr = wre_ref[pl.ds(site, 1), :]  # (1, H)
         wi = wim_ref[pl.ds(site, 1), :]
+        c2 = c2w_ref[pl.ds(site, 1), :]
+        s2 = s2w_ref[pl.ds(site, 1), :]
         y1re = yre_ref[:] - two_s * wr
-        y1im = yim_ref[:] - two_s * wi
-        lyre, lyim = _logcosh_both(y1re, y1im)
+        del wi
+        # cos/sin(y_im - 2 s w_im) via angle addition (no trig in the loop)
+        ss2 = s_col * s2  # (BK, H)
+        c1 = cy * c2 + sy * ss2
+        s1 = sy * c2 - cy * ss2
+        absx1 = jnp.abs(y1re)
+        sgn1 = jnp.where(y1re < 0, -1.0, 1.0).astype(y1re.dtype)
+        e1 = jnp.exp(-2.0 * absx1)
+        wre1 = (1.0 + e1) * c1
+        wim1 = (1.0 - e1) * s1 * sgn1
+        lyre = 0.5 * jnp.log(wre1 * wre1 + wim1 * wim1) + (absx1 - _LN2)
+        lyim = _atan2(wim1, wre1)
         ln1re = jnp.sum(lyre, axis=1, keepdims=True)
         ln1im = jnp.sum(lyim, axis=1, keepdims=True)
         ar = are_ref[pl.ds(site, 1), :]
@@ -146,6 +177,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
         in_specs=[
             fixed_spec(n, h),
             fixed_spec(n, h),
+            fixed_spec(n, h),
+            fixed_spec(n, h),
             fixed_spec(n, 1),
             fixed_spec(n, 1),
             spins_spec,
@@ -156,6 +189,10 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
         ],
         out_specs=[state_spec(1), state_spec(1)],
     )
+
+    # angle-addition inputs: cos/sin(2 w_im) once per estimate (XLA, native
+    # trig; the identity is exact so no logcosh-implementation mixing)
+    c2w, s2w = jnp.cos(2.0 * work.w.im), jnp.sin(2.0 * work.w.im)
 
     ore, oim = pl.pallas_call(
         _energy_kernel,
@@ -169,6 +206,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
         jnp.asarray(sites, jnp.int32),
         work.w.re,
         work.w.im,
+        c2w,
+        s2w,
         a.re.reshape(n, 1),
         a.im.reshape(n, 1),
         cache.spins.T,
