@@ -43,6 +43,12 @@ from neural_network_quantum_state_tpu.sampler import metropolis
 
 @dataclasses.dataclass(frozen=True)
 class VMCConfig:
+    # Large-V guidance (measured, N=128/V=517 on v5e - RESULTS.md 5b): the
+    # f32 CG saturation at large V is a roundoff artifact, not true
+    # ill-conditioning - with solve_dtype=float64 the same system solves in
+    # 3-10 CG iterations. Prefer solve_dtype=float64 at V >~ 500;
+    # solver="auto" (QLP min-length fallback) is the pure-f32 option that
+    # degrades gracefully.
     n_walkers: int = 1024
     n_sweeps_per_step: int = 1  # reference "nms"
     # dense-solver only: accumulate S/F over this many sampling rounds per

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neural_network_quantum_state_tpu as nqs
 from neural_network_quantum_state_tpu.hamiltonians import TFIChain
@@ -35,6 +36,7 @@ def test_sharded_fused_sweeps_consistent():
     assert bool(jnp.all(jnp.abs(st.cache.spins) == 1.0))
 
 
+@pytest.mark.slow
 def test_vmc_mesh_fused_end_to_end():
     n = 12
     machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
@@ -69,6 +71,7 @@ def _tiny_sharded_sampler(n, k, seed=0):
     return work, state, fused, sched
 
 
+@pytest.mark.slow
 def test_sharded_fused_sampling_matches_psi2_chi2():
     """Statistical correctness THROUGH make_fused_sharded_sweeps on the
     8-device mesh (VERDICT round-1 item 3): the pooled multi-device sample
@@ -105,6 +108,7 @@ def test_sharded_fused_sampling_matches_psi2_chi2():
     assert tv < 0.03, tv
 
 
+@pytest.mark.slow
 def test_sharded_fused_streams_are_device_independent():
     """Inter-device stream independence (VERDICT round-1 item 3): devices
     start from IDENTICAL walker states; if per-device PRNG streams were

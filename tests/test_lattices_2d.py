@@ -50,6 +50,7 @@ def test_tfitri_l3_vs_exact():
     assert abs(e - e_exact) / abs(e_exact) < 1e-2, (e, e_exact)
 
 
+@pytest.mark.slow
 def test_tficheckerboard_l4_vs_exact_sparse():
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
