@@ -53,6 +53,8 @@ OPTIONS = [
     ("nbeta", "parallel-tempered estimator replicas (1 = off; use for "
               "metastable ordered/near-critical states - ns/nbeta chains read out)"),
     ("mesh", "# of devices for walker-sharded estimation (0 = single device)"),
+    ("fused", "use the fused Pallas sweep kernel (1/0; f32; with -nbeta the "
+              "replica-exchange chain runs in-kernel)"),
 ]
 DEFAULTS = {
     "prefix2": "None",
@@ -67,6 +69,7 @@ DEFAULTS = {
     "site": "0",
     "nbeta": "1",
     "mesh": "0",
+    "fused": "0",
 }
 
 
@@ -95,9 +98,12 @@ def main(argv=None):
 
         mesh = make_mesh(n_mesh)
 
+    use_fused = bool(args.find("fused", int))
+
     def make_sampler(key):
         return AmplitudeSampler(
-            machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta, mesh=mesh
+            machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta,
+            mesh=mesh, use_fused=use_fused,
         )
 
     if what == "renyi":
@@ -111,7 +117,9 @@ def main(argv=None):
         if what == "fidelity":
             s1 = make_sampler(seed)
             # same mesh: replicas must be co-sharded for device-local cross terms
-            s2 = AmplitudeSampler(machine2, params2, ns, key=seed + 987654321, mesh=mesh)
+            s2 = AmplitudeSampler(
+                machine2, params2, ns, key=seed + 987654321, mesh=mesh, use_fused=use_fused
+            )
             val, err = fidelity(s1, s2, niter, nwarm, nms)
             print(f"# fidelity : {val:.6f} +/- {err:.2e}")
             return val, err

@@ -39,6 +39,7 @@ class AmplitudeSampler:
         schedule: Optional[np.ndarray] = None,
         n_beta: int = 1,
         mesh=None,
+        use_fused: bool = False,
     ):
         """n_beta > 1 enables replica-exchange (parallel-tempered) sampling:
         n_walkers total chains hold n_walkers/n_beta physical chains x
@@ -58,6 +59,11 @@ class AmplitudeSampler:
             raise ValueError("n_walkers must be a multiple of n_beta")
         self.n_beta = n_beta
         self.mesh = mesh
+        # fused Pallas sweeps (f32 machines; n_beta > 1 runs the replica-
+        # exchange chain in-kernel - swap phases included)
+        self.use_fused = use_fused
+        if use_fused and jnp.dtype(machine.real_dtype) != jnp.float32:
+            raise ValueError("use_fused requires a float32 machine")
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         kinit, krun = jax.random.split(key)
@@ -80,6 +86,12 @@ class AmplitudeSampler:
     def _advance_fn(self, n_sweeps: int):
         """Pure state -> state advance of n_sweeps (traceable inside jit)."""
         work, sched, nb = self.work, self.schedule, self.n_beta
+        if self.use_fused:
+            if self.mesh is not None:
+                interp = self.mesh.devices.ravel()[0].platform == "cpu"
+                fused = metropolis.make_fused_sharded_sweeps(self.mesh, interpret=interp, n_beta=nb)
+                return lambda state: fused(work, state, sched, n_sweeps)
+            return lambda state: metropolis.sweeps_fused(work, state, sched, n_sweeps, n_beta=nb)
         if nb > 1:
             from neural_network_quantum_state_tpu.sampler import tempering
 

@@ -99,7 +99,7 @@ def _hash_bits(seed_u32, t, shape):
 
 
 def _sweep_kernel(
-    sched_ref,  # (n_steps,) int32, scalar-prefetched (SMEM)
+    sched_ref,  # (n_sites,) int32, scalar-prefetched (SMEM) - ONE sweep's order
     seed_ref,  # (n_blocks,) int32, scalar-prefetched: per-block threefry-derived seeds
     wre_ref,
     wim_ref,  # (N, H) VMEM, full
@@ -107,6 +107,7 @@ def _sweep_kernel(
     aim_ref,  # (N, 1) VMEM (zeros when no visible bias)
     cre_ref,
     cim_ref,  # (1, H) VMEM (ones/zeros when c is None)
+    beta_ref,  # (BK, 1) per-walker temperature (ones when n_beta == 1)
     spins_ref,  # (N, BK) in - TRANSPOSED: site selection must be on the
     # sublane dim (Mosaic forbids dynamic lane indexing)
     yre_ref,
@@ -123,8 +124,10 @@ def _sweep_kernel(
     *,
     hash_prng: bool = False,
     has_c: bool = False,
+    n_sweeps: int = 1,
+    n_beta: int = 1,
 ):
-    n_steps = sched_ref.shape[0]
+    n_sites = sched_ref.shape[0]
     # bring state into the output refs; all updates happen in-place there
     ospins_ref[:] = spins_ref[:]
     oyre_ref[:] = yre_ref[:]
@@ -158,8 +161,18 @@ def _sweep_kernel(
             jnp.sum(cre * _logcosh_re(yre_ref[:], yim_ref[:]), axis=1, keepdims=True) + sare_ref[:]
         )
 
+    beta = beta_ref[:]  # (BK, 1)
+
+    def _uniform(t, shape):
+        if hash_prng:
+            bits = _hash_bits(block_seed.astype(jnp.uint32), t, shape)
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # top 24 bits -> [0,1): shift fits in int32 (Mosaic can't cast u32->f32)
+        return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV24
+
     def body(t, acc):
-        site = sched_ref[t]
+        site = sched_ref[t % n_sites]
         srow = ospins_ref[pl.ds(site, 1), :]  # (1, BK)
         two_s = 2.0 * jnp.transpose(srow)  # (BK, 1) - one per-step relayout
         wr = wre_ref[pl.ds(site, 1), :]  # (1, H)
@@ -178,13 +191,10 @@ def _sweep_kernel(
         ln1re = ln1re + osare_ref[:] - two_s * ar
 
         dln = ln1re - olnre_ref[:]  # (BK, 1)
-        if hash_prng:
-            bits = _hash_bits(block_seed.astype(jnp.uint32), t, dln.shape)
-        else:
-            bits = pltpu.bitcast(pltpu.prng_random_bits(dln.shape), jnp.uint32)
-        # top 24 bits -> [0,1): shift fits in int32 (Mosaic can't cast u32->f32)
-        u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV24
-        accept = u < jnp.exp(2.0 * jnp.minimum(dln, 0.0))
+        u = _uniform(t, dln.shape)
+        # tempered accept |exp(beta*dln)|^2 (impl_mcmc_sampler.hpp:150);
+        # beta == 1 everywhere in the plain sampler
+        accept = u < jnp.exp(2.0 * beta * jnp.minimum(dln, 0.0))
         mask = accept.astype(jnp.float32)  # (BK, 1)
 
         two_s_m = two_s * mask
@@ -198,12 +208,66 @@ def _sweep_kernel(
         ospins_ref[pl.ds(site, 1), :] = srow * (1.0 - 2.0 * mask_row)
         return acc + jnp.sum(mask)
 
-    acc = jax.lax.fori_loop(0, n_steps, body, jnp.float32(0.0))
+    if n_beta <= 1:
+        acc = jax.lax.fori_loop(0, n_sweeps * n_sites, body, jnp.float32(0.0))
+    else:
+        # replica-exchange: after each sweep, even then odd adjacent-pair
+        # swaps (impl_mcmc_sampler.hpp:157-188). Replica-minor layout: the
+        # replica id is walker_row % n_beta (block_k % n_beta == 0, enforced
+        # by the caller), so the pair masks are static iota patterns and
+        # the partner exchange is a +-1 roll along the walker axis - swaps
+        # never leave the block (or the device, under sharding).
+        bk = beta.shape[0]
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) % n_beta
+        dbeta = jnp.float32(1.0 / n_beta)
+
+        def swap_phase(s, parity):
+            # pairs (r, r+1) with r of this parity; row bk-1 has
+            # r = n_beta-1 (never a lower member), so the circular
+            # wraparound of roll never produces a spurious swap
+            lower = ((r_col % 2) == parity) & (r_col + 1 < n_beta)
+            ln = olnre_ref[:]
+            ln_up = pltpu.roll(ln, bk - 1, 0)  # up-neighbor: roll by -1 == bk-1 (pltpu.roll needs shift >= 0)
+            u = _uniform(jnp.int32(0x40000000) + s * 2 + parity, ln.shape)
+            # accept prob min(1, exp(2*dbeta*(ln_up - ln))); u < 1 always,
+            # so clamping the exponent at 0 covers the ratio >= 1 branch
+            # f32 masks, not bools: Mosaic's rotate has no 1-bit lowering
+            acc_low = (lower & (u < jnp.exp(2.0 * dbeta * jnp.minimum(ln_up - ln, 0.0)))).astype(
+                jnp.float32
+            )
+            acc_up = pltpu.roll(acc_low, 1, 0)  # upper member mirrors its lower
+
+            def exch_col(ref):  # (BK, cols): walker axis on sublanes
+                x = ref[:]
+                ref[:] = jnp.where(
+                    acc_low > 0.5, pltpu.roll(x, bk - 1, 0), jnp.where(acc_up > 0.5, pltpu.roll(x, 1, 0), x)
+                )
+
+            exch_col(oyre_ref)
+            exch_col(oyim_ref)
+            exch_col(osare_ref)
+            exch_col(osaim_ref)
+            exch_col(olnre_ref)
+            # spins are (N, BK): walker axis on lanes
+            m_low = jnp.transpose(acc_low)  # (1, BK)
+            m_up = pltpu.roll(m_low, 1, 1)
+            sp = ospins_ref[:]
+            ospins_ref[:] = jnp.where(
+                m_low > 0.5, pltpu.roll(sp, bk - 1, 1), jnp.where(m_up > 0.5, pltpu.roll(sp, 1, 1), sp)
+            )
+
+        def sweep_body(s, acc):
+            acc = jax.lax.fori_loop(s * n_sites, (s + 1) * n_sites, body, acc)
+            swap_phase(s, 0)
+            swap_phase(s, 1)
+            return acc
+
+        acc = jax.lax.fori_loop(0, n_sweeps, sweep_body, jnp.float32(0.0))
     # full-array SMEM accumulator: one row per (sequential) grid program
     oacc_ref[pl.program_id(0), 0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "block_k", "interpret", "n_beta"))
 def pallas_sweeps(
     work: Work,
     cache: Cache,
@@ -213,6 +277,7 @@ def pallas_sweeps(
     n_sweeps: int,
     block_k: int | None = None,
     interpret: bool = False,
+    n_beta: int = 1,
 ):
     """Run n_sweeps fused sweeps; returns (cache, lnpsi, n_accepted).
 
@@ -222,6 +287,12 @@ def pallas_sweeps(
     computed in-kernel, Im via the polynomial fast_atan2, mirroring the
     reference's dedicated FFNN kernel set,
     gpu/include/neural_quantum_state.cuh:261-373).
+
+    n_beta > 1 runs replica-exchange (parallel tempering) entirely
+    in-kernel: tempered accepts plus even/odd adjacent-pair swap phases
+    after every sweep (reference impl_mcmc_sampler.hpp:93-221, CPU-only
+    there). Walkers must be replica-minor (sampler.tempering layout);
+    swaps are +-1 rolls along the walker axis and never leave the block.
     """
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
@@ -233,11 +304,11 @@ def pallas_sweeps(
     # f32/int32, so trace this whole call with x64 off.
     with jax.enable_x64(False):
         return _pallas_sweeps_body(
-            work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c
+            work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c, n_beta
         )
 
 
-def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c):
+def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c, n_beta=1):
     if block_k is None:
         # adaptive: keep each (BK, H) VMEM temporary around 1 MB so the
         # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H
@@ -245,9 +316,11 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
         block_k = next((b for b in (1024, 512, 256, 128) if b <= bk_cap and k % b == 0), k)
     block_k = min(block_k, k)
     assert k % block_k == 0, (k, block_k)
+    if n_beta > 1:
+        assert block_k % n_beta == 0, (block_k, n_beta)  # replica groups stay whole
     n_blocks = k // block_k
 
-    full_sched = jnp.tile(jnp.asarray(schedule, jnp.int32), n_sweeps)
+    full_sched = jnp.asarray(schedule, jnp.int32)
     # independent per-block seeds via threefry (NOT seed + block*const): each
     # grid program gets a decorrelated stream, mirroring the reference's
     # TRNG4 jump-stream contract (impl_mcmc_sampler.hpp:18-24)
@@ -261,6 +334,12 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
 
     a = work.a if work.a is not None else cplx.zeros((n,), jnp.float32)
     c = work.c if has_c else C(jnp.ones((h,), jnp.float32), jnp.zeros((h,), jnp.float32))
+    if n_beta > 1:
+        from neural_network_quantum_state_tpu.sampler.tempering import replica_betas
+
+        beta = replica_betas(n_beta, k // n_beta, jnp.float32).reshape(k, 1)
+    else:
+        beta = jnp.ones((k, 1), jnp.float32)
 
     # index maps receive (grid index, *scalar_prefetch_refs)
     state_spec = lambda cols: pl.BlockSpec((block_k, cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -277,6 +356,7 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
             fixed_spec(n, 1),  # aim
             fixed_spec(1, h),  # cre
             fixed_spec(1, h),  # cim
+            state_spec(1),  # beta (replica-minor, blocked like the state)
             spins_spec,  # spins (N, BK), lane-blocked
             state_spec(h),  # yre
             state_spec(h),  # yim
@@ -307,7 +387,9 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
     outs = pl.pallas_call(
         # interpret mode swaps the HW PRNG for a counter-hash PRNG so the
         # interpreted kernel is statistically faithful (chi^2-testable)
-        functools.partial(_sweep_kernel, hash_prng=interpret, has_c=has_c),
+        functools.partial(
+            _sweep_kernel, hash_prng=interpret, has_c=has_c, n_sweeps=n_sweeps, n_beta=n_beta
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # TPU-emulating interpreter (needed for pltpu.prng_* off-TPU)
@@ -321,6 +403,7 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
         a.im.reshape(n, 1),
         c.re.reshape(1, h),
         c.im.reshape(1, h),
+        beta,
         cache.spins.T,
         cache.y.re,
         cache.y.im,

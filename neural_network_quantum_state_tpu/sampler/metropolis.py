@@ -90,16 +90,18 @@ def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> 
     )
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "block_k"))
-def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int | None = None) -> MCState:
+@partial(jax.jit, static_argnames=("n_sweeps", "block_k", "n_beta"))
+def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int | None = None, n_beta: int = 1) -> MCState:
     """Pallas fused-sweep variant of :func:`sweeps` (float32, TPU): the whole
     multi-sweep proposal loop runs in one kernel with y resident in VMEM
-    (ops.pallas_sweep). Statistically equivalent, different RNG stream."""
+    (ops.pallas_sweep). Statistically equivalent, different RNG stream.
+    n_beta > 1 runs the replica-exchange chain fully in-kernel (tempered
+    accepts + swap phases; replica-minor layout like sampler.tempering)."""
     from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
 
     key, sub = jax.random.split(state.key)
     seed = jax.random.randint(sub, (), 0, 2**31 - 1, jnp.int32)
-    cache, lnpsi, n_acc = pallas_sweeps(work, state.cache, state.lnpsi, schedule, seed, n_sweeps, block_k=block_k)
+    cache, lnpsi, n_acc = pallas_sweeps(work, state.cache, state.lnpsi, schedule, seed, n_sweeps, block_k=block_k, n_beta=n_beta)
     n_steps = n_sweeps * schedule.shape[0]
     k = state.lnpsi.re.shape[0]
     return MCState(
@@ -111,7 +113,7 @@ def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: in
     )
 
 
-def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool = False):
+def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool = False, n_beta: int = 1):
     """Multi-chip fused sweeps: the Pallas kernel runs per-device on the
     local walker shard under shard_map (a pallas_call under plain pjit
     cannot be partitioned by XLA). Weights replicate; each device's kernel
@@ -135,7 +137,8 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
             # value (in_spec P(axis) below) - no linear-offset seed arithmetic
             block_k = min(1024, cache.spins.shape[0])
             cache, lnpsi, n_acc = pallas_sweeps(
-                work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=block_k, interpret=interpret
+                work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=block_k,
+                interpret=interpret, n_beta=n_beta
             )
             return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
 

@@ -147,7 +147,7 @@ class VMC:
 
                 return kawasaki.exchange_sweeps(work, state, bonds, n, n_unit)
 
-        elif config.n_beta > 1:
+        elif config.n_beta > 1 and not config.use_fused_sweeps:
 
             def sweep(work, state, n):
                 from neural_network_quantum_state_tpu.sampler import tempering
@@ -157,11 +157,12 @@ class VMC:
         elif config.use_fused_sweeps:
             if jnp.dtype(machine.real_dtype) != jnp.float32:
                 raise ValueError("use_fused_sweeps requires a float32 machine")
+            nb = config.n_beta  # > 1: replica-exchange runs in-kernel
             if mesh is not None:
                 # per-device Pallas kernels under shard_map (a pallas_call
                 # cannot be partitioned by pjit alone)
                 interp = mesh.devices.ravel()[0].platform == "cpu"
-                fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=interp)
+                fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=interp, n_beta=nb)
 
                 def sweep(work, state, n):
                     return fused(work, state, self.schedule, n)
@@ -169,7 +170,7 @@ class VMC:
             else:
 
                 def sweep(work, state, n):
-                    return metropolis.sweeps_fused(work, state, self.schedule, n)
+                    return metropolis.sweeps_fused(work, state, self.schedule, n, n_beta=nb)
 
         else:
 

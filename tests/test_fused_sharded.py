@@ -193,3 +193,26 @@ def test_hash_prng_streams_uniform_and_decorrelated():
     # and between lanes within one stream
     c_lane = np.corrcoef(u0[:, 0], u0[:, 1])[0, 1]
     assert abs(c_lane) < 0.15, c_lane
+
+
+@pytest.mark.slow
+def test_vmc_mesh_fused_tempered_end_to_end():
+    """use_fused_sweeps + n_beta + mesh: the replica-exchange chain runs
+    in-kernel per shard (replica-minor groups never cross a device), the
+    beta=1 estimator slice feeds SR, and training descends."""
+    n = 12
+    machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    mesh = nqs.parallel.make_mesh()
+    cfg = nqs.VMCConfig(n_walkers=512, learning_rate=2e-2, solver="cg",
+                        use_fused_sweeps=True, n_beta=4, seed=4)
+    vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 150)
+    params, state, hist, _ = vmc.run(params, state, 120)
+    assert all(np.isfinite(h["energy"]) for h in hist)
+    from neural_network_quantum_state_tpu.utils.exact import ground_energy, tfi_chain_dense
+
+    e = np.mean([h["energy"] for h in hist[-20:]])
+    e0 = ground_energy(tfi_chain_dense(n, h=-1.0, j=-1.0))
+    assert abs(e - e0) / abs(e0) < 5e-3, (e, e0)

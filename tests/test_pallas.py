@@ -111,3 +111,66 @@ def test_adaptive_block_sizing():
     ref_cache, ref_ln = engine.full_forward(work, c2.spins)
     np.testing.assert_allclose(np.asarray(l2.re), np.asarray(ref_ln.re), atol=2e-4)
     assert bool(jnp.all(jnp.abs(c2.spins) == 1.0))
+
+
+def test_fused_tempered_cache_consistency():
+    """n_beta > 1: after in-kernel tempered sweeps + swap phases, the
+    returned y/sa/lnpsi caches must equal a from-scratch forward of the
+    returned spins (swaps exchange whole machine states consistently)."""
+    n, k, n_beta = 6, 512, 4
+    machine = RBM(n_inputs=n, n_hiddens=8, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(5))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(6), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sched = chain_checkerboard(n)
+    cache, lnpsi, n_acc = pallas_sweeps(
+        work, cache, lnpsi, sched, jnp.int32(7), 5, block_k=256, interpret=True, n_beta=n_beta
+    )
+    ref_cache, ref_ln = engine.full_forward(work, cache.spins)
+    np.testing.assert_allclose(np.asarray(cache.y.re), np.asarray(ref_cache.y.re), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache.y.im), np.asarray(ref_cache.y.im), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lnpsi.re), np.asarray(ref_ln.re), rtol=0, atol=5e-5)
+    assert float(n_acc) > 0
+
+
+@pytest.mark.slow
+def test_fused_tempered_beta1_samples_psi2():
+    """Replica-exchange in-kernel: the beta=1 slice (replica-minor [::nb])
+    must still sample |psi|^2 - chi^2 + total variation vs enumeration.
+    Catches a wrong swap phase (which would mix beta<1 statistics into the
+    physical chains)."""
+    n, n_beta = 4, 4
+    k = 1024 * n_beta
+    machine = RBM(n_inputs=n, n_hiddens=8, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(2))
+    params = jax.tree_util.tree_map(lambda x: 1.5 * x, params)
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(3), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sched = chain_checkerboard(n)
+
+    confs = np.array([[1.0 - 2.0 * ((i >> b) & 1) for b in range(n)] for i in range(2**n)], np.float32)
+    ln = engine.log_psi(work, jnp.asarray(confs))
+    p = np.exp(2.0 * np.asarray(ln.re, np.float64))
+    p /= p.sum()
+
+    cache, lnpsi, _ = pallas_sweeps(
+        work, cache, lnpsi, sched, jnp.int32(11), 30, block_k=256, interpret=True, n_beta=n_beta
+    )
+    counts = np.zeros(2**n)
+    bit_w = np.asarray([1 << b for b in range(n)])
+    seed = 300
+    for _ in range(40):
+        cache, lnpsi, _ = pallas_sweeps(
+            work, cache, lnpsi, sched, jnp.int32(seed), 2, block_k=256, interpret=True, n_beta=n_beta
+        )
+        seed += 1
+        s = np.asarray(cache.spins)[::n_beta]  # beta=1 replicas only
+        idx = ((1.0 - s) / 2.0 @ bit_w).astype(int)
+        counts += np.bincount(idx, minlength=2**n)
+    total = counts.sum()
+    chi2 = float(np.sum((counts - total * p) ** 2 / (total * p)))
+    tv = 0.5 * float(np.abs(counts / total - p).sum())
+    assert chi2 / (2**n - 1) < 3.0, (chi2, tv)
+    assert tv < 0.03, tv
