@@ -56,6 +56,8 @@ OPTIONS = [
                    "SR: f32 sampling + f64 local energy/O_k/solve - the "
                    "reference's double-precision training accuracy on TPU)"),
     ("mesh", "# of devices for walker-sharded training (0 = single device)"),
+    ("gridmesh", "devices per grid point: comma-list grid points run "
+                 "CONCURRENTLY on disjoint submeshes (0 = serial grid)"),
     ("nbeta", "parallel-tempering replicas (1 = off)"),
     ("path", "directory for checkpoints/metrics"),
     ("seed", "RNG seed"),
@@ -82,6 +84,7 @@ DEFAULTS = {
     "solver": "cg",
     "solvedtype": "same",
     "mesh": "0",
+    "gridmesh": "0",
     "nbeta": "1",
     "path": ".",
     "seed": "0",
@@ -93,7 +96,7 @@ DEFAULTS = {
 }
 
 
-def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
+def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -> dict:
     dtype = jnp.float32 if args.find("dtype") == "float32" else jnp.float64
     pbc = bool(args.find("pbc", int))
     n_inputs = 2 * l if model == "hubbard" else l
@@ -140,10 +143,11 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver) -> dict:
         solve_dtype=solve_dtype,
         seed=args.find("seed", int),
     )
-    mesh = None
-    n_mesh = args.find("mesh", int)
-    if n_mesh > 0:
-        mesh = nqs.parallel.make_mesh(n_mesh)
+    mesh = mesh_override
+    if mesh is None:
+        n_mesh = args.find("mesh", int)
+        if n_mesh > 0:
+            mesh = nqs.parallel.make_mesh(n_mesh)
     vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
     params, state = vmc.init()
     ifprefix = args.find("ifprefix")
@@ -191,17 +195,50 @@ def main(argv=None):
     model = args.find("model").lower()
     ansatz = args.find("ansatz").lower()
     l = args.find("L", int)
-    results = []
+    points = []
     for ver in args.mfind("ver", int):
         for nf in args.mfind("nf", int):
             for alpha in args.mfind("alpha", float):
                 for theta in args.mfind("theta", float):
-                    results.append(run_one(model, ansatz, l, nf, args, theta, alpha, ver))
+                    points.append((theta, alpha, ver, nf))
                     if model != "lich":
                         break  # theta sweep only applies to LICH
                 if model != "lich":
                     break
-    return results
+
+    g = args.find("gridmesh", int)
+    if g > 0 and len(points) > 1:
+        # Grid-sweep parallelism: partition the device set into disjoint
+        # g-device submeshes and run grid points concurrently, one point
+        # per submesh (pod-scale throughput: the reference's mfind grids
+        # run strictly serially, LICH-train_rbmtrsymm.cu:82-108). Threads
+        # drive independent VMC host loops; they spend their time blocked
+        # on device transfers, so dispatch overlaps across submeshes.
+        from concurrent.futures import ThreadPoolExecutor
+        from queue import Queue
+
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        n_groups = len(devices) // g
+        if n_groups < 1:
+            raise ValueError(f"gridmesh={g} exceeds the {len(devices)} available devices")
+        slots: Queue = Queue()
+        for i in range(n_groups):
+            slots.put(Mesh(np.asarray(devices[i * g : (i + 1) * g]), ("walkers",)))
+
+        def run_point(point):
+            theta, alpha, ver, nf = point
+            mesh = slots.get()
+            try:
+                return run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=mesh)
+            finally:
+                slots.put(mesh)
+
+        with ThreadPoolExecutor(max_workers=n_groups) as pool:
+            return list(pool.map(run_point, points))
+
+    return [run_one(model, ansatz, l, nf, args, theta, alpha, ver) for theta, alpha, ver, nf in points]
 
 
 if __name__ == "__main__":

@@ -229,3 +229,34 @@ def test_train_driver_on_mesh(tmp_path):
     energies = [h["energy"] for h in res[0]["history"]]
     assert np.isfinite(energies[-1])
     assert energies[-1] < energies[0]
+
+
+def test_train_grid_parallel_submeshes(tmp_path):
+    """-gridmesh=4: two theta grid points train CONCURRENTLY on disjoint
+    4-device submeshes of the 8-device virtual mesh; both converge and save
+    distinct checkpoints."""
+    res = train.main(
+        [
+            "-model=LICH",
+            "-ansatz=rbmtrsymm",
+            "-L=8",
+            "-nf=2",
+            "-ns=64",
+            "-niter=40",
+            "-nwarm=60",
+            "-lr=2e-2",
+            "-theta=0.5,1.2",
+            "-alpha=2.5",
+            "-dtype=float64",
+            "-gridmesh=4",
+            f"-path={tmp_path}",
+            "-rsd=1e-9",
+        ]
+    )
+    assert len(res) == 2
+    prefixes = {r["prefix"] for r in res}
+    assert len(prefixes) == 2
+    for r in res:
+        energies = [h["energy"] for h in r["history"]]
+        assert np.isfinite(energies[-1])
+        assert os.path.exists(r["prefix"])
