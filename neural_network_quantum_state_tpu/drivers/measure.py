@@ -118,7 +118,8 @@ def main(argv=None):
             s1 = make_sampler(seed)
             # same mesh: replicas must be co-sharded for device-local cross terms
             s2 = AmplitudeSampler(
-                machine2, params2, ns, key=seed + 987654321, mesh=mesh, use_fused=use_fused
+                machine2, params2, ns, key=seed + 987654321, init_spins=init_spins,
+                n_beta=n_beta, mesh=mesh, use_fused=use_fused,
             )
             val, err = fidelity(s1, s2, niter, nwarm, nms)
             print(f"# fidelity : {val:.6f} +/- {err:.2e}")

@@ -71,7 +71,7 @@ class FermionAmplitudeSampler:
             from neural_network_quantum_state_tpu.parallel import mesh as meshlib
 
             self.state = meshlib.shard_walker_tree(self.state, mesh, n_walkers)
-            self.work = machine.make_work(meshlib.shard_walker_tree(params, mesh, n_walkers))
+            self.work = machine.make_work(meshlib.replicate_tree(params, mesh))
 
     def warm_up(self, n_sweeps: int) -> None:
         self.do_mcmc_steps(n_sweeps)

@@ -77,7 +77,7 @@ class AmplitudeSampler:
             # replica-minor layout keeps each physical chain's n_beta
             # replicas contiguous; shard whole chains (n_walkers leading dim)
             self.state = meshlib.shard_walker_tree(self.state, mesh, n_walkers)
-            self.work = machine.make_work(meshlib.shard_walker_tree(params, mesh, n_walkers))
+            self.work = machine.make_work(meshlib.replicate_tree(params, mesh))
 
     # -- reference API surface -------------------------------------------
     def warm_up(self, n_sweeps: int) -> None:

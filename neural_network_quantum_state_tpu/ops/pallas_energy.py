@@ -34,23 +34,6 @@ from neural_network_quantum_state_tpu.ops.fastmath import fast_cos, fast_sin
 _LN2 = 0.6931471805599453
 
 
-def _logcosh_both(x, y):
-    """(Re, Im) of ln cosh(x+iy), stable, atan2-free Mosaic ops only.
-
-    cos/sin are the polynomial ops.fastmath versions (TPU's library
-    versions pay full Payne-Hanek range reduction; measured 2.1x on the
-    analogous sweep kernel); exp/log stay native - the VPU lowers them
-    near-free and polynomial replacements measured slower."""
-    absx = jnp.abs(x)
-    sgn = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
-    e = jnp.exp(-2.0 * absx)
-    wre = (1.0 + e) * fast_cos(y)
-    wim = (1.0 - e) * fast_sin(y) * sgn
-    re = 0.5 * jnp.log(wre * wre + wim * wim) + (absx - _LN2)
-    im = _atan2(wim, wre)
-    return re, im
-
-
 def _energy_kernel(
     sched_ref,  # (n_sites,) int32 scalar-prefetch (site list)
     wre_ref,

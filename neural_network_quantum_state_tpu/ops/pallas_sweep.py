@@ -64,8 +64,7 @@ def _logcosh_both(x, y):
     """(Re, Im) of ln cosh(x+iy) - the FFNN-family path: complex output
     weights c make Re(c * lncosh) depend on Im lncosh, so the accept chain
     needs both planes. Im uses the polynomial fast_atan2 (Mosaic has no
-    atan2); same formulation as the fused energy kernel
-    (ops.pallas_energy._logcosh_both)."""
+    atan2); same split formulation the fused energy kernel inlines."""
     absx = jnp.abs(x)
     sgn = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
     e = jnp.exp(-2.0 * absx)
@@ -311,9 +310,17 @@ def pallas_sweeps(
 def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c, n_beta=1):
     if block_k is None:
         # adaptive: keep each (BK, H) VMEM temporary around 1 MB so the
-        # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H
+        # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H.
+        # With tempering, blocks must also hold whole replica groups
+        # (non-power-of-two n_beta like 3 or 6 disqualifies the power-of-two
+        # candidates; fall back to multiples of n_beta, then to k itself).
         bk_cap = max(128, (256 * 1024) // max(1, h))
-        block_k = next((b for b in (1024, 512, 256, 128) if b <= bk_cap and k % b == 0), k)
+        cands = [1024, 512, 256, 128]
+        if n_beta > 1:
+            cands = [b for b in cands if b % n_beta == 0]
+            cands += [m * n_beta for m in (256, 128, 64, 32) if (m * n_beta) not in cands]
+            cands.sort(reverse=True)
+        block_k = next((b for b in cands if b <= bk_cap and k % b == 0), k)
     block_k = min(block_k, k)
     assert k % block_k == 0, (k, block_k)
     if n_beta > 1:

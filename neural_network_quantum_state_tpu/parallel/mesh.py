@@ -51,6 +51,16 @@ def shard_walker_tree(tree: Any, mesh: Mesh, n_walkers: int, axis_name: str = WA
     return jax.tree_util.tree_map(place, tree)
 
 
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with the replicated sharding. Use this for
+    parameters: shard_walker_tree pattern-matches on leading dim ==
+    n_walkers, which silently shards a (N, H) weight matrix over its SITE
+    axis whenever N happens to equal the walker count (e.g. the N=64
+    flagship measured with 64 walkers)."""
+    repl = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), repl), tree)
+
+
 def constrain_walkers(x: Any, mesh: Mesh | None, axis_name: str = WALKER_AXIS):
     """with_sharding_constraint on the leading (walker) axis of every array
     leaf (pytrees like split-complex C pairs recurse); no-op if mesh is None."""

@@ -90,8 +90,8 @@ def sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> 
     )
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "block_k", "n_beta"))
-def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int | None = None, n_beta: int = 1) -> MCState:
+@partial(jax.jit, static_argnames=("n_sweeps", "block_k", "n_beta", "interpret"))
+def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, block_k: int | None = None, n_beta: int = 1, interpret: bool | None = None) -> MCState:
     """Pallas fused-sweep variant of :func:`sweeps` (float32, TPU): the whole
     multi-sweep proposal loop runs in one kernel with y resident in VMEM
     (ops.pallas_sweep). Statistically equivalent, different RNG stream.
@@ -99,9 +99,13 @@ def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: in
     accepts + swap phases; replica-minor layout like sampler.tempering)."""
     from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
 
+    if interpret is None:
+        # trace-time constant: off-TPU the kernel must run in the
+        # TPU-emulating interpreter (pltpu primitives have no CPU lowering)
+        interpret = jax.devices()[0].platform == "cpu"
     key, sub = jax.random.split(state.key)
     seed = jax.random.randint(sub, (), 0, 2**31 - 1, jnp.int32)
-    cache, lnpsi, n_acc = pallas_sweeps(work, state.cache, state.lnpsi, schedule, seed, n_sweeps, block_k=block_k, n_beta=n_beta)
+    cache, lnpsi, n_acc = pallas_sweeps(work, state.cache, state.lnpsi, schedule, seed, n_sweeps, block_k=block_k, n_beta=n_beta, interpret=interpret)
     n_steps = n_sweeps * schedule.shape[0]
     k = state.lnpsi.re.shape[0]
     return MCState(

@@ -202,7 +202,7 @@ class VMC:
         work = self.machine.make_work(params)
         state = metropolis.init_state(work, spins, kr)
         if self.mesh is not None:
-            params = meshlib.shard_walker_tree(params, self.mesh, self.config.n_walkers)
+            params = meshlib.replicate_tree(params, self.mesh)
             state = meshlib.shard_walker_tree(state, self.mesh, self.config.n_walkers)
         return params, state
 
@@ -302,7 +302,17 @@ class VMC:
                 def _keep_cg(_):
                     return dx, jnp.zeros((), jnp.int32)
 
-                dx, extra = jax.lax.cond(res.iterations >= cap, _qlp_fallback, _keep_cg, None)
+                # fall back only if CG is both at its cap AND unconverged
+                # (cg_solve's own threshold semantics: tol^2 * ||F||^2) - a
+                # solve whose residual crosses tol exactly on the cap-th
+                # iteration is legitimate and needs no QLP pass. XLA CSEs
+                # this force_vector with the one inside sr_cg_solve.
+                from neural_network_quantum_state_tpu.optim.sr import force_vector
+
+                f_vec, _ = force_vector(o_mat, htilda)
+                threshold = (cfg.cg_tol * cfg.cg_tol) * cplx.norm2(f_vec)
+                fallback = (res.iterations >= cap) & (res.residual_norm2 >= threshold)
+                dx, extra = jax.lax.cond(fallback, _qlp_fallback, _keep_cg, None)
                 cg_iters = res.iterations + extra
             elif cfg.solver == "minresqlp":
                 from neural_network_quantum_state_tpu.optim.minres import sr_minres_solve

@@ -260,3 +260,27 @@ def test_train_grid_parallel_submeshes(tmp_path):
         energies = [h["energy"] for h in r["history"]]
         assert np.isfinite(energies[-1])
         assert os.path.exists(r["prefix"])
+
+
+def test_measure_fidelity_with_tempering(tmp_path):
+    """Review regression: -what=fidelity -nbeta>1 must give both replicas
+    the same replica layout (s2 previously dropped n_beta and crashed on a
+    walker-count mismatch)."""
+    from neural_network_quantum_state_tpu.drivers.common import build_machine
+    from neural_network_quantum_state_tpu.utils.checkpoint import save_reference_text
+
+    machine = build_machine("rbmtrsymm", 8, 2, np.float64)
+    import jax
+
+    p1 = machine.init_params(jax.random.PRNGKey(1))
+    p2 = machine.init_params(jax.random.PRNGKey(2))
+    save_reference_text(machine, p1, str(tmp_path / "ckptA"))
+    save_reference_text(machine, p2, str(tmp_path / "ckptB"))
+    val, err = measure.main(
+        [
+            "-what=fidelity", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=256",
+            f"-prefix={tmp_path}/ckptA", f"-prefix2={tmp_path}/ckptB",
+            "-niter=5", "-nms=1", "-nwarm=20", "-dtype=float64", "-nbeta=4",
+        ]
+    )
+    assert np.isfinite(val) and np.isfinite(err)

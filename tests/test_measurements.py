@@ -188,3 +188,18 @@ def test_mesh_plus_tempering_estimator():
     smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=41, n_beta=4, mesh=mesh)
     m1_got, _, _ = spontaneous_magnetization(smp, n_iterations=30, n_sweeps=2, n_warmup=150)
     assert abs(m1_got - want_m1) < 0.03, (m1_got, want_m1)
+
+
+def test_amplitude_sampler_fused_cpu_and_odd_nbeta():
+    """Review regressions: (a) use_fused without a mesh must auto-select
+    interpret mode off-TPU; (b) non-power-of-two replica ladders (n_beta=3)
+    must get a block size that keeps replica groups whole."""
+    from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampler
+    from neural_network_quantum_state_tpu.models import RBM
+
+    machine = RBM(n_inputs=6, n_hiddens=8, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    smp = AmplitudeSampler(machine, params, 384, key=1, n_beta=3, use_fused=True)
+    smp.do_mcmc_steps(2)
+    assert np.all(np.isfinite(np.asarray(smp.lnpsi.re)))
+    assert smp.spins.shape[0] == 128  # beta=1 slice of 384/3
