@@ -98,7 +98,7 @@ def bench_sr_solves():
                 "metric": "sr_solves_per_sec_N64_RBMTrSymm_a4_8192walkers",
                 "value": round(n_iter / dt, 1),
                 "unit": "iters/s",
-                "vs_baseline": round(n_iter / dt, 1),  # no reference number exists
+                "vs_baseline": None,  # no reference target exists for this metric
             }
         )
     )

@@ -40,7 +40,12 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 
 import math  # noqa: E402
 
-CKPT = "RBMTrSymmLICH-L64NF4A2.5T2V1"  # round-1 trained flagship state
+import os  # noqa: E402
+
+# round-1 trained flagship state, resolved relative to the repo root so the
+# documented `python examples/precision_n64_anchor.py` works from anywhere
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "runs", "RBMTrSymmLICH-L64NF4A2.5T2V1")
 
 
 def run(mode: str, niter: int, ntail: int) -> float:

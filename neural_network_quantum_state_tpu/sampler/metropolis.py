@@ -138,10 +138,13 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
     def sweeps_fn(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> MCState:
         def local_body(work, cache, lnpsi, sched, seed):
             # seed arrives pre-sliced to this device's own threefry-derived
-            # value (in_spec P(axis) below) - no linear-offset seed arithmetic
-            block_k = min(1024, cache.spins.shape[0])
+            # value (in_spec P(axis) below) - no linear-offset seed arithmetic.
+            # block_k=None: the adaptive, n_beta-aware block sizing in
+            # _pallas_sweeps_body applies per-device (a hardcoded 1024 broke
+            # n_beta values that don't divide 1024, e.g. 3 or 6, and
+            # per-device walker counts not a multiple of 1024).
             cache, lnpsi, n_acc = pallas_sweeps(
-                work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=block_k,
+                work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=None,
                 interpret=interpret, n_beta=n_beta
             )
             return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)

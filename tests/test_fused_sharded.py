@@ -216,3 +216,28 @@ def test_vmc_mesh_fused_tempered_end_to_end():
     e = np.mean([h["energy"] for h in hist[-20:]])
     e0 = ground_energy(tfi_chain_dense(n, h=-1.0, j=-1.0))
     assert abs(e - e0) / abs(e0) < 5e-3, (e, e0)
+
+
+def test_sharded_fused_nbeta3_large_shard_block_sizing():
+    """Regression (round-2 advisor): the sharded fused path must use the
+    n_beta-aware adaptive block sizing. A hardcoded block_k=min(1024, local_k)
+    hit trace-time AssertionErrors for (a) non-power-of-two n_beta (1024 % 3
+    != 0) and (b) per-device walker counts > 1024 not a multiple of 1024
+    (1152 % 1024 != 0). This config triggers both with the old code."""
+    n, n_beta = 8, 3
+    n_dev = jax.device_count()
+    k = n_dev * 1152  # 1152 walkers/device: > 1024, divisible by 3, not by 1024
+    machine = RBMTrSymm(n_inputs=n, alpha=1, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    mesh = nqs.parallel.make_mesh()
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    spins = ham.init_spins(jax.random.PRNGKey(1), k, jnp.float32)
+    work = machine.make_work(params)
+    state = metropolis.init_state(work, spins, jax.random.PRNGKey(2))
+    state = nqs.parallel.shard_walker_tree(state, mesh, k)
+    work = machine.make_work(nqs.parallel.shard_walker_tree(params, mesh, k))
+    fused = metropolis.make_fused_sharded_sweeps(mesh, interpret=True, n_beta=n_beta)
+    st = fused(work, state, jnp.asarray(ham.schedule()), 1)
+    assert bool(jnp.all(jnp.abs(st.cache.spins) == 1.0))
+    assert bool(jnp.all(jnp.isfinite(st.lnpsi.re)))
+    assert float(st.n_accepted) > 0
