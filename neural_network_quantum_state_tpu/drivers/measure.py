@@ -33,7 +33,16 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm"),
+    ("what", "energy | renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm"),
+    ("model", "energy only: Hamiltonian to evaluate (CH | LICH | SQ | TRI | CB "
+              "| hubbard), with -theta/-alpha (LICH), -h/-J (others), -U/-t (hubbard)"),
+    ("theta", "energy+LICH: J=sin(theta), h=-cos(theta)"),
+    ("alpha", "energy+LICH: power-law decay exponent"),
+    ("h", "energy, non-LICH: transverse field"),
+    ("J", "energy, non-LICH: Ising coupling"),
+    ("U", "energy+hubbard: onsite interaction"),
+    ("t", "energy+hubbard: hopping"),
+    ("pbc", "energy: periodic boundary (1/0)"),
     ("ansatz", "machine family of the checkpoint"),
     ("L", "# of machine inputs"),
     ("nf", "# of hidden units / filters"),
@@ -57,6 +66,14 @@ OPTIONS = [
               "replica-exchange chain runs in-kernel)"),
 ]
 DEFAULTS = {
+    "model": "None",
+    "theta": "0",
+    "alpha": "2",
+    "h": "-1",
+    "J": "-1",
+    "U": "4",
+    "t": "1",
+    "pbc": "1",
     "prefix2": "None",
     "l": "0",
     "niter": "500",
@@ -106,6 +123,41 @@ def main(argv=None):
             mesh=mesh, use_fused=use_fused,
         )
 
+    if what == "energy":
+        # <H> +/- err of a trained checkpoint (free fn meas_energy,
+        # cpu/include/measurements.hpp:123-144; the reference's CPU
+        # meas drivers print it without retraining)
+        import math as _math
+
+        from neural_network_quantum_state_tpu.drivers.common import build_hamiltonian
+        from neural_network_quantum_state_tpu.measurements.estimators import measure_energy
+
+        model = args.find("model").lower()
+        if model == "none":
+            raise ValueError("-what=energy requires -model (and its couplings)")
+        ham_kw: dict = {"pbc": bool(args.find("pbc", int))}
+        if model == "lich":
+            theta = args.find("theta", float)
+            ham_kw.update(j=_math.sin(theta), h=-_math.cos(theta), alpha=args.find("alpha", float))
+        elif model == "hubbard":
+            n_up, n_down = args.mfind("npar", int)
+            ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
+        elif model == "cb":
+            ham_kw.update(h=args.find("h", float), j1=args.find("J", float))
+        else:
+            ham_kw.update(h=args.find("h", float), j=args.find("J", float))
+        ham = build_hamiltonian(model, n, **ham_kw)
+        if model == "hubbard":
+            from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
+
+            n_up, n_down = args.mfind("npar", int)
+            s1 = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
+        else:
+            s1 = make_sampler(seed)
+        s1.warm_up(nwarm)
+        e, err = measure_energy((s1, ham), niter, nms)
+        print(f"# energy : {e.real:+.7f} +/- {err:.2e}  (imag {e.imag:+.2e})")
+        return e, err
     if what == "renyi":
         s1, s2 = make_sampler(seed), make_sampler(seed + 987654321)
         s2_val = renyi2_entropy(s1, s2, args.find("l", int), niter, nms, nwarm)

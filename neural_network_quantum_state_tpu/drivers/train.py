@@ -27,7 +27,11 @@ from neural_network_quantum_state_tpu.drivers.common import (
     build_machine,
     checkpoint_prefix,
 )
-from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_text, save_reference_text
+from neural_network_quantum_state_tpu.utils.checkpoint import (
+    load_reference_text,
+    save_npz,
+    save_reference_text,
+)
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 from neural_network_quantum_state_tpu.utils.metrics import MetricsLogger
 
@@ -61,7 +65,13 @@ OPTIONS = [
     ("nbeta", "parallel-tempering replicas (1 = off)"),
     ("path", "directory for checkpoints/metrics"),
     ("seed", "RNG seed"),
-    ("ifprefix", "warm-start checkpoint prefix ('None' = cold)"),
+    ("ifprefix", "warm-start checkpoint prefix ('None' = cold; params only)"),
+    ("resume", "structured-state checkpoint to resume from ('None' = off): "
+               "prefix or .state.npz path; restores params + optimizer step "
+               "(lambda schedule position) + RNG key + walker states, and "
+               "-niter then counts ADDITIONAL iterations"),
+    ("nrec", "auto-save period in SR iterations (reference nrec, "
+             "gpu optimizer.cuh:153-155; 0 = only save at the end)"),
     ("dtype", "float32 | float64"),
     ("pbc", "periodic boundary (1/0)"),
     ("mloop", "SR iterations per device call (latency amortization)"),
@@ -89,6 +99,8 @@ DEFAULTS = {
     "path": ".",
     "seed": "0",
     "ifprefix": "None",
+    "resume": "None",
+    "nrec": "100",
     "dtype": "float32",
     "pbc": "1",
     "mloop": "25",
@@ -127,10 +139,26 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
     ham = build_hamiltonian(model, n_inputs, **ham_kw)
 
     prefix = checkpoint_prefix(args.find("path"), model, ansatz, n_inputs, nf, ver, **prefix_kw)
+    sd_opt = args.find("solvedtype").lower()
     solve_dtype = None
-    if args.find("solvedtype").lower() in ("float64", "f64", "double"):
+    if sd_opt in ("float64", "f64", "double"):
         jax.config.update("jax_enable_x64", True)
         solve_dtype = jnp.float64
+    elif sd_opt in ("float32", "f32"):
+        solve_dtype = jnp.float32  # explicit opt-out of the large-V auto-default
+    elif (
+        machine.n_vars >= 500
+        and args.find("solver") in ("cg", "auto")
+        and dtype == jnp.float32
+    ):
+        # measured quality cliff: pure-f32 CG at V >~ 500 stagnates and can
+        # NaN (RESULTS.md 5b) - auto-enable the cheap mixed-precision solve
+        jax.config.update("jax_enable_x64", True)
+        solve_dtype = jnp.float64
+        print(
+            f"# V={machine.n_vars} >= 500: auto-enabling mixed-precision SR "
+            "(-solvedtype=float32 to opt out)"
+        )
     cfg = nqs.VMCConfig(
         n_walkers=args.find("ns", int),
         n_sweeps_per_step=args.find("nms", int),
@@ -150,12 +178,32 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
             mesh = nqs.parallel.make_mesh(n_mesh)
     vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
     params, state = vmc.init()
-    ifprefix = args.find("ifprefix")
-    if ifprefix != "None":
-        params = load_reference_text(machine, args.find("path") + "/" + ifprefix)
-        print(f"# warm start from {ifprefix}")
     t0 = time.time()
-    state = vmc.warm_up(params, state, args.find("nwarm", int))
+    start_step = 0
+    resume = args.find("resume")
+    if resume != "None":
+        # structured resume: params + optimizer step (lambda position) +
+        # RNG key + walker states - no lambda-transient replay, no walker
+        # re-equilibration (round-2 verdict item 2; the reference restarts
+        # from params only, SURVEY.md 5)
+        rpath = resume if resume.endswith(".npz") else args.find("path") + "/" + resume + ".state.npz"
+        from neural_network_quantum_state_tpu.sampler import metropolis
+        from neural_network_quantum_state_tpu.utils.checkpoint import load_npz
+
+        params, start_step, key_data, spins = load_npz(rpath, machine)
+        if key_data is None or spins is None:
+            raise ValueError(f"{rpath} lacks RNG/walker state - not a resumable checkpoint")
+        state = metropolis.init_state(machine.make_work(params), jnp.asarray(spins, dtype), jnp.asarray(key_data))
+        if mesh is not None:
+            params = nqs.parallel.replicate_tree(params, mesh)
+            state = nqs.parallel.shard_walker_tree(state, mesh, cfg.n_walkers)
+        print(f"# resumed from {rpath} at step {start_step}")
+    else:
+        ifprefix = args.find("ifprefix")
+        if ifprefix != "None":
+            params = load_reference_text(machine, args.find("path") + "/" + ifprefix)
+            print(f"# warm start from {ifprefix}")
+        state = vmc.warm_up(params, state, args.find("nwarm", int))
 
     log = MetricsLogger(prefix + ".metrics.jsonl", echo=True)
 
@@ -168,8 +216,23 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
             lam=float(stats.lam),
         )
 
-    params, state, history, elapsed = vmc.run(params, state, args.find("niter", int), callback=callback)
-    save_reference_text(machine, params, prefix)
+    def save_all(step, params_c, state_c):
+        # reference-format text (interoperable with the reference's loaders)
+        # + the structured resume state alongside
+        save_reference_text(machine, params_c, prefix)
+        save_npz(
+            prefix + ".state.npz", machine, params_c, step=step,
+            key=state_c.key, spins=state_c.cache.spins,
+        )
+
+    nrec = args.find("nrec", int)
+    params, state, history, elapsed = vmc.run(
+        params, state, args.find("niter", int), callback=callback,
+        checkpoint_fn=save_all if nrec > 0 else None,
+        checkpoint_every=max(nrec, 1), start_step=start_step,
+    )
+    final_step = history[-1]["step"] + 1 if history else start_step
+    save_all(final_step, params, state)
     log.close()
     print(f"# elapsed time: {time.time() - t0:.1f}(sec)  saved: {prefix}")
     return {"prefix": prefix, "history": history, "params": params, "machine": machine}

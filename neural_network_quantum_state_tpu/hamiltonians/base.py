@@ -38,6 +38,15 @@ class Hamiltonian:
         del key
         return jnp.ones((n_walkers, self.n_sites), dtype)
 
+    def reseed_spins(self, key: jax.Array, n_walkers: int, dtype=jnp.float32) -> jnp.ndarray:
+        """Fresh walker configurations for collapse remediation: uniform
+        random +-1 (NOT init_spins, whose ordered starts - e.g. LITFIChain's
+        Neel init - are exactly the configuration a collapsed ensemble is
+        pinned on). Particle-conserving Hamiltonians override to stay in
+        sector."""
+        spins = jax.random.bernoulli(key, 0.5, (n_walkers, self.n_sites))
+        return jnp.where(spins, 1.0, -1.0).astype(dtype)
+
     def local_energy(self, work: Work, cache: Cache, lnpsi: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
 

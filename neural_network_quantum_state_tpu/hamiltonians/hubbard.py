@@ -66,6 +66,12 @@ class HubbardChain(Hamiltonian):
     # ---- sampler wiring --------------------------------------------------
     sampler_kind = "exchange"
 
+    def reseed_spins(self, key, n_walkers: int, dtype=jnp.float32):
+        """Collapse remediation must conserve particle number (the Kawasaki
+        proposals never leave the sector): init_spins already draws random
+        sector-correct configurations."""
+        return self.init_spins(key, n_walkers, dtype)
+
     @cached_property
     def bonds(self) -> jnp.ndarray:
         if self.per_flavor_rings:

@@ -55,10 +55,15 @@ def measure_energy(vmc_or_pair, n_trials: int, n_sweeps: int = 1):
 
 
 # ---------------------------------------------------------------------------
-def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_iterations, n_sweeps, n_warmup):
+def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_iterations, n_sweeps, n_warmup,
+                     return_trials: bool = False):
     """Shared core of MeasSpontaneousMagnetization / MeasOrderParameter
     (impl_meas.cuh:418-505): m = |(1/N) sum_i coeff_i s_i| per walker;
-    returns (m1, m2, m4) = (<m>, <m^2>, <m^4>)."""
+    returns (m1, m2, m4) = (<m>, <m^2>, <m^4>).
+
+    return_trials=True instead returns the per-iteration (n_iterations,)
+    moment arrays, for blocked/jackknife error estimation of derived
+    quantities (Binder cumulant error bars - see binder_cumulant)."""
     sampler.warm_up(n_warmup)
     n = sampler.n_inputs
     rdt = sampler.machine.real_dtype
@@ -77,19 +82,46 @@ def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_
         return jnp.mean(mag), jnp.mean(mag**2), jnp.mean(mag**4)
 
     m1, m2, m4 = sampler.run_estimator(accum, n_iterations, n_sweeps)
+    if return_trials:
+        return np.asarray(m1), np.asarray(m2), np.asarray(m4)
     return float(np.mean(m1)), float(np.mean(m2)), float(np.mean(m4))
 
 
-def spontaneous_magnetization(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100):
+def binder_cumulant(m2_trials: np.ndarray, m4_trials: np.ndarray, n_blocks: int = 20):
+    """U = 1 - <m^4>/(3 <m^2>^2) with a blocked-jackknife error.
+
+    Per-iteration moment estimates are autocorrelated (successive estimates
+    are n_sweeps apart); blocking into n_blocks bins decorrelates them, and
+    the jackknife propagates the nonlinear m4/m2^2 ratio correctly (a naive
+    per-trial U average is biased). Standard FSS methodology for locating
+    the crossing (the reference paper's analysis; python/meas_smag.py:32-41
+    computes U without error bars)."""
+    m2_t, m4_t = np.asarray(m2_trials, np.float64), np.asarray(m4_trials, np.float64)
+    n_blocks = max(2, min(n_blocks, m2_t.size))
+    usable = (m2_t.size // n_blocks) * n_blocks
+    m2_b = m2_t[:usable].reshape(n_blocks, -1).mean(axis=1)
+    m4_b = m4_t[:usable].reshape(n_blocks, -1).mean(axis=1)
+    u_full = 1.0 - m4_b.mean() / (3.0 * m2_b.mean() ** 2)
+    # jackknife: leave one block out
+    m2_j = (m2_b.sum() - m2_b) / (n_blocks - 1)
+    m4_j = (m4_b.sum() - m4_b) / (n_blocks - 1)
+    u_j = 1.0 - m4_j / (3.0 * m2_j**2)
+    u_err = np.sqrt((n_blocks - 1) / n_blocks * ((u_j - u_j.mean()) ** 2).sum())
+    return float(u_full), float(u_err)
+
+
+def spontaneous_magnetization(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100,
+                              return_trials: bool = False):
     """m1=<|m|>, m2=<m^2>, m4=<m^4> (MeasSpontaneousMagnetization,
     gpu meas.cuh:182-198, cpu measurements.hpp:153-249)."""
-    return _abs_mag_moments(sampler, None, n_iterations, n_sweeps, n_warmup)
+    return _abs_mag_moments(sampler, None, n_iterations, n_sweeps, n_warmup, return_trials)
 
 
-def order_parameter(sampler: AmplitudeSampler, coeff, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100):
+def order_parameter(sampler: AmplitudeSampler, coeff, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100,
+                    return_trials: bool = False):
     """Generic coefficient-weighted magnetization moments (MeasOrderParameter,
     gpu meas.cuh:202-219)."""
-    return _abs_mag_moments(sampler, coeff, n_iterations, n_sweeps, n_warmup)
+    return _abs_mag_moments(sampler, coeff, n_iterations, n_sweeps, n_warmup, return_trials)
 
 
 def neel_order(sampler: AmplitudeSampler, l: int, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100):

@@ -88,6 +88,22 @@ class VMCConfig:
     # Both require jax_enable_x64. dx is cast back to the machine dtype.
     solve_dtype: Optional[Any] = None
     energy_dtype: Optional[Any] = None
+    # Collapse auto-remediation (active recovery beyond the reference's
+    # passive NaN guard, gpu optimizer.cuh:134-138): when the energy
+    # variance collapses to exactly zero for collapse_patience consecutive
+    # steps (every walker pinned on one configuration - the N=128
+    # deep-ordered failure mode, RESULTS.md 5/5b), run() remediates instead
+    # of freezing forever: first escalate to in-run parallel tempering with
+    # collapse_escalate_nbeta replicas (the rescue that worked manually at
+    # N=128); where PT is unavailable (exchange sampler, indivisible walker
+    # count, already tempered) reseed collapse_reseed_frac of the walkers
+    # from the Hamiltonian's reseed distribution and re-equilibrate for
+    # collapse_requil_sweeps.
+    auto_remediate: bool = True
+    collapse_patience: int = 3
+    collapse_escalate_nbeta: int = 4
+    collapse_reseed_frac: float = 0.5
+    collapse_requil_sweeps: int = 100
     # >0: precondition CG with an exponential moving average of diag(S)
     # (this decay per iteration) instead of the current round's noisy
     # K-sample estimate - at large V each diagonal entry is estimated from
@@ -137,6 +153,38 @@ class VMC:
                     "solve_dtype/energy_dtype=float64 requires jax_enable_x64 "
                     "(jax.config.update('jax_enable_x64', True) before building the VMC)"
                 )
+        # Large-V auto-default: a pure-f32 CG solve at V >~ 500 walks into a
+        # measured quality cliff (roundoff residual collapse -> NaN update,
+        # RESULTS.md 5b - the f32-auto N=128 run died this way). The fix is
+        # cheap (O(KV) casts + the O(V) solve in f64), so default it rather
+        # than rely on a comment: upgrade solve_dtype when x64 is available,
+        # warn loudly when it is not. Explicit solve_dtype=float32 opts out.
+        if (
+            machine.n_vars >= 500
+            and config.solver in ("cg", "auto")
+            and config.solve_dtype is None
+            and config.energy_dtype is None
+            and jnp.dtype(machine.real_dtype) == jnp.float32
+        ):
+            if jax.config.jax_enable_x64:
+                config = dataclasses.replace(config, solve_dtype=jnp.float64)
+                print(
+                    f"# V={machine.n_vars} >= 500 with an f32 {config.solver} solve: "
+                    "defaulting solve_dtype=float64 (mixed-precision SR; pass "
+                    "solve_dtype=jnp.float32 to opt out)"
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"V={machine.n_vars} >= 500 with a pure-f32 {config.solver} SR solve: "
+                    "this configuration measurably degrades (CG stagnation, possible NaN "
+                    "updates - RESULTS.md 5b). Enable jax_enable_x64 and set "
+                    "solve_dtype=jnp.float64 (drivers: -solvedtype=float64), or pass "
+                    "solve_dtype=jnp.float32 explicitly to silence this.",
+                    stacklevel=2,
+                )
+        self.config = config
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
             if config.n_beta > 1:
                 raise NotImplementedError("parallel tempering + exchange sampler")
@@ -179,6 +227,8 @@ class VMC:
 
         self._sweep = sweep
         self._step_fn = self._build_step()
+        self._reseed_fn = None
+        self.n_remediations = 0  # collapse-remediation events (run() increments)
 
     @property
     def _ema_init(self):
@@ -392,6 +442,44 @@ class VMC:
         return step
 
     # ------------------------------------------------------------------
+    # Below any honest Monte-Carlo relative standard deviation (best
+    # converged runs sit at rsd ~1e-4): rsd this small only happens when the
+    # energy variance is exactly zero, i.e. every walker is pinned on one
+    # configuration (walker collapse).
+    _COLLAPSE_RSD = 1e-12
+
+    def _reseed_state(self, params, state):
+        """Replace collapse_reseed_frac of the walkers with fresh
+        configurations from the Hamiltonian's reseed distribution (sector-
+        preserving for exchange samplers); caches recomputed."""
+        if self._reseed_fn is None:
+            cfg, machine, ham = self.config, self.machine, self.hamiltonian
+            stride = max(1, int(round(1.0 / max(cfg.collapse_reseed_frac, 1e-9))))
+
+            @jax.jit
+            def reseed(params, state):
+                key, k1 = jax.random.split(state.key)
+                rand = ham.reseed_spins(k1, cfg.n_walkers, machine.real_dtype)
+                keep = (jnp.arange(cfg.n_walkers) % stride) != 0
+                spins = jnp.where(keep[:, None], state.cache.spins, rand.astype(state.cache.spins.dtype))
+                work = machine.make_work(params)
+                cache, lnpsi = engine.full_forward(work, spins)
+                return state._replace(cache=cache, lnpsi=lnpsi, key=key)
+
+            self._reseed_fn = reseed
+        return self._reseed_fn(params, state)
+
+    def _can_escalate(self) -> bool:
+        cfg = self.config
+        if cfg.n_beta > 1 or cfg.collapse_escalate_nbeta <= 1:
+            return False  # already tempered / escalation disabled
+        if getattr(self.hamiltonian, "sampler_kind", "flip") == "exchange":
+            return False  # PT + exchange sampler not wired
+        n_dev = 1
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values()))) if hasattr(self.mesh, "shape") else self.mesh.devices.size
+        return cfg.n_walkers % (n_dev * cfg.collapse_escalate_nbeta) == 0
+
     def run(
         self,
         params,
@@ -401,48 +489,69 @@ class VMC:
         verbose: bool = False,
         checkpoint_fn: Optional[Callable[[int, Any, Any], None]] = None,
         checkpoint_every: int = 100,  # reference nrec (gpu optimizer.cuh:153)
+        start_step: int = 0,
     ):
         """Host-side optimization loop with RSD early stop + NaN guard
         (gpu optimizer.cuh:134-138, 160-165). With
         config.steps_per_host_loop > 1, chunks of iterations run as one
-        device call (early stop checked per chunk)."""
+        device call (early stop checked per chunk).
+
+        start_step: global optimizer-step offset for structured resume - the
+        lambda schedule, history/callback step indices and periodic
+        checkpoints continue from the restored position instead of replaying
+        the 100*0.9^n regularization transient.
+
+        Collapse auto-remediation (config.auto_remediate): rsd pinned at
+        exactly zero for collapse_patience consecutive steps means the
+        walker ensemble has collapsed onto a single configuration - the
+        zero-variance guard freezes updates, and without intervention the
+        run would stay frozen forever (observed at N=128, RESULTS.md 5/5b).
+        run() then escalates to in-run parallel tempering
+        (collapse_escalate_nbeta replicas - the rescue that worked manually)
+        or, where PT is unavailable, reseeds a fraction of the walkers and
+        re-equilibrates. A zero-variance rsd never triggers the rsd_cutoff
+        convergence stop while auto_remediate is on: statistical noise is
+        never exactly zero, so rsd == 0 is collapse, not convergence."""
+        cfg = self.config
         history = []
         t0 = time.perf_counter()
-        m = self.config.steps_per_host_loop
+        m = cfg.steps_per_host_loop
         n = 0
         stop = False
         prev_acc, prev_prop = 0.0, 0.0
         ema = self._ema_init
+        collapse_run = 0
         while n < n_iterations and not stop:
             if m > 1 and n + m <= n_iterations:
-                params, state, stats_stack, ema = self._multi_step_fn(params, state, jnp.asarray(n, jnp.int32), ema)
+                params, state, stats_stack, ema = self._multi_step_fn(params, state, jnp.asarray(start_step + n, jnp.int32), ema)
                 # ONE host transfer for the whole chunk (per-scalar fetches
                 # pay the full dispatch latency each on remote backends)
                 stats_np = jax.device_get(stats_stack)
                 chunk = [jax.tree_util.tree_map(lambda x: x[i], stats_np) for i in range(m)]
             else:
-                params, state, stats, ema = self._step_fn(params, state, jnp.asarray(n, jnp.int32), ema)
+                params, state, stats, ema = self._step_fn(params, state, jnp.asarray(start_step + n, jnp.int32), ema)
                 chunk = [jax.device_get(stats)]
             # acceptance ratio over this chunk (CPU-stack parity:
             # optimizer.hpp:73 prints it per iteration)
             na, np_ = jax.device_get((state.n_accepted, state.n_proposed))
             acc = float(na - prev_acc) / max(float(np_ - prev_prop), 1.0)
             prev_acc, prev_prop = float(na), float(np_)
-            if checkpoint_fn is not None and (n + len(chunk)) // checkpoint_every > n // checkpoint_every:
+            if checkpoint_fn is not None and (start_step + n + len(chunk)) // checkpoint_every > (start_step + n) // checkpoint_every:
                 # periodic save with the CURRENT (live, undonated) params -
                 # references captured before run() are invalidated by buffer
-                # donation inside the jitted step
-                checkpoint_fn(n + len(chunk), params, state)
+                # donation inside the jitted step (reference parity: save
+                # every nrec iterations, gpu optimizer.cuh:153-155)
+                checkpoint_fn(start_step + n + len(chunk), params, state)
             for stats in chunk:
                 e_re = float(stats.energy.re)
                 rsd = float(stats.rsd)
                 history.append(
-                    {"step": n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters), "acceptance": acc}
+                    {"step": start_step + n, "energy": e_re, "rsd": rsd, "cg_iters": int(stats.cg_iters), "acceptance": acc}
                 )
                 if callback is not None:
-                    callback(n, stats)
+                    callback(start_step + n, stats)
                 if verbose:
-                    print(f"{n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
+                    print(f"{start_step + n + 1:5d}  {e_re:+.7f}  rsd={rsd:.3e}  cg={int(stats.cg_iters)}")
                 n += 1
                 # math.isfinite, NOT jnp: a jnp op on a host scalar creates
                 # a device computation whose bool() blocks on the dispatch
@@ -453,10 +562,45 @@ class VMC:
                     print('# "Havg" has non-value type. We stop here.')
                     stop = True
                     break
-                if self.config.rsd_cutoff is not None and rsd < self.config.rsd_cutoff:
+                collapsed = rsd < self._COLLAPSE_RSD
+                collapse_run = collapse_run + 1 if collapsed else 0
+                if cfg.rsd_cutoff is not None and rsd < cfg.rsd_cutoff and not (collapsed and cfg.auto_remediate):
                     if verbose:
                         print("# We got a converged solution.")
                     stop = True
                     break
+            if not stop and cfg.auto_remediate and collapse_run >= cfg.collapse_patience and n < n_iterations:
+                collapse_run = 0
+                self.n_remediations += 1
+                if self._can_escalate():
+                    print(
+                        f"# walker collapse at step {start_step + n}: escalating to "
+                        f"parallel tempering (n_beta={cfg.collapse_escalate_nbeta})"
+                    )
+                    esc = VMC(
+                        self.machine,
+                        self.hamiltonian,
+                        dataclasses.replace(cfg, n_beta=cfg.collapse_escalate_nbeta),
+                        mesh=self.mesh,
+                    )
+                    esc.n_remediations = self.n_remediations
+                    # existing walkers reinterpret as replica-minor groups
+                    # (betas assigned by position); caches are already
+                    # consistent, the tempered sweep takes over directly
+                    p2, s2, hist2, _ = esc.run(
+                        params, state, n_iterations - n,
+                        callback=callback, verbose=verbose,
+                        checkpoint_fn=checkpoint_fn, checkpoint_every=checkpoint_every,
+                        start_step=start_step + n,
+                    )
+                    self.n_remediations = esc.n_remediations
+                    return p2, s2, history + hist2, time.perf_counter() - t0
+                print(
+                    f"# walker collapse at step {start_step + n}: reseeding "
+                    f"{cfg.collapse_reseed_frac:.0%} of walkers + "
+                    f"{cfg.collapse_requil_sweeps} re-equilibration sweeps"
+                )
+                state = self._reseed_state(params, state)
+                state = self.warm_up(params, state, cfg.collapse_requil_sweeps)
         elapsed = time.perf_counter() - t0
         return params, state, history, elapsed

@@ -284,3 +284,104 @@ def test_measure_fidelity_with_tempering(tmp_path):
         ]
     )
     assert np.isfinite(val) and np.isfinite(err)
+
+
+def test_train_autosave_and_structured_resume(tmp_path):
+    """Kill-and-resume (round-2 verdict item 2): periodic auto-save every
+    -nrec iters writes the structured state; -resume restores params +
+    optimizer step + RNG + walkers so the lambda schedule CONTINUES instead
+    of replaying the 100*0.9^n transient."""
+    import json
+
+    common = [
+        "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=128",
+        "-nwarm=60", "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}",
+        "-rsd=1e-12", "-nrec=25",
+    ]
+    res = train.main(common + ["-niter=60"])
+    prefix = res[0]["prefix"]
+    assert os.path.exists(prefix + ".state.npz")  # auto-saved + final
+
+    res2 = train.main(common + ["-niter=40", f"-resume={os.path.basename(prefix)}"])
+    hist2 = res2[0]["history"]
+    # resume continues the global step count (60..99), not a restart at 0
+    assert hist2[0]["step"] == 60 and hist2[-1]["step"] == 99
+    # the metrics file carries both segments, lambda continuing its decay:
+    # at step 60 lambda = max(100*0.9^61, 1e-2) ~ 0.163, nowhere near the
+    # lambda(0) = 90 a transient replay would show
+    recs = [json.loads(line) for line in open(prefix + ".metrics.jsonl")]
+    lam_by_step = {r["step"]: r["lam"] for r in recs}
+    assert abs(lam_by_step[60] - 100.0 * 0.9**61) < 1e-3
+    # energy keeps descending across the boundary (no re-equilibration shock)
+    e1 = np.mean([h["energy"] for h in res[0]["history"][-10:]])
+    e2 = np.mean([h["energy"] for h in hist2[-10:]])
+    assert e2 <= e1 + 0.05
+
+
+def test_vmc_collapse_auto_remediation():
+    """A deliberately collapsed ensemble (all walkers pinned on the Neel
+    configuration of a near-deterministic machine) must NOT freeze forever:
+    run() detects the zero-variance signature and remediates automatically
+    (round-2 verdict item 3; the N=128 scenario of RESULTS.md 5/5b)."""
+    import jax
+    import jax.numpy as jnp
+
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.hamiltonians import LITFIChain
+    from neural_network_quantum_state_tpu.models import RBM
+    from neural_network_quantum_state_tpu.ops.cplx import C
+
+    n, k = 8, 64
+    machine = RBM(n_inputs=n, n_hiddens=4, dtype=jnp.float64)
+    ham = LITFIChain(n_sites=n, j=1.0, h=-0.01, alpha=2.5, pbc=True)
+    cfg = nqs.VMCConfig(
+        n_walkers=k, learning_rate=1e-3, solver="cg", seed=3,
+        collapse_patience=2, collapse_escalate_nbeta=4,
+        collapse_requil_sweeps=1, rsd_cutoff=1e-9,
+    )
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    # pin the ensemble: a strong Neel-aligned visible bias makes the plain
+    # chain's flip-accept probability ~e^-12 (walkers freeze on the Neel
+    # state; init_spins for j>0 already starts there) while the escalated
+    # tempered replicas at beta=1/4 still mix (accept ~e^-3)
+    neel = jnp.where(jnp.arange(n) % 2 == 0, 3.0, -3.0).astype(jnp.float64)
+    params = dict(params)
+    params["a"] = C(neel, jnp.zeros_like(neel))
+    params, state, hist, _ = vmc.run(params, state, 30)
+    assert vmc.n_remediations >= 1  # remediation fired (escalation, then reseeds)
+    assert len(hist) == 30  # ... and the run completed, no freeze/stop
+    assert all(np.isfinite(h["energy"]) for h in hist)
+    # remediation restores nonzero estimator variance (a frozen run shows
+    # rsd == 0.0 for every remaining step; this hand-pinned delta state
+    # re-collapses after each rescue, so blips - not permanence - are the
+    # correct expectation here)
+    assert any(h["rsd"] > 0 for h in hist[3:])
+
+
+def test_measure_energy_mode(tmp_path):
+    """-what=energy: trained-state <H> without retraining (free fn
+    meas_energy, cpu/include/measurements.hpp:123-144; round-2 verdict
+    item 6). The measured energy must agree with the end-of-training
+    energy and sit above (or near) the exact ground state."""
+    from neural_network_quantum_state_tpu.utils.exact import ground_energy, tfi_chain_dense
+
+    res = train.main(
+        [
+            "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=256",
+            "-niter=150", "-nwarm=100", "-lr=2e-2", "-dtype=float64",
+            f"-path={tmp_path}", "-rsd=1e-12",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    e_train = np.mean([h["energy"] for h in res[0]["history"][-20:]])
+    e, err = measure.main(
+        [
+            "-what=energy", "-model=CH", "-h=-1", "-J=-1", "-ansatz=rbmtrsymm",
+            "-L=8", "-nf=2", "-ns=512", f"-prefix={prefix}",
+            "-niter=30", "-nms=2", "-nwarm=100", "-dtype=float64",
+        ]
+    )
+    assert abs(e.real - e_train) < 0.05
+    e0 = ground_energy(tfi_chain_dense(8, h=-1.0, j=-1.0))
+    assert abs(e.real - e0) / abs(e0) < 0.02
