@@ -187,11 +187,21 @@ def main(argv=None):
         return m1, m2, m4
     if what == "stag":
         # staggered magnetization m_s = (1/N) sum_i (-1)^i s_i - the AFM
-        # chain's order parameter (the reference paper's headline observable)
+        # chain's order parameter (the reference paper's headline observable).
+        # Per-iteration moment trials feed a blocked-jackknife Binder error
+        # (the reference's python/meas_smag.py:32-41 computes U point-only)
+        from neural_network_quantum_state_tpu.measurements.estimators import binder_cumulant
+
         coeff = jnp.asarray(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), dtype)
-        m1, m2, m4 = order_parameter(make_sampler(seed), coeff, niter, nms, nwarm)
-        binder = 1.0 - m4 / (3.0 * m2 * m2)
-        print(f"# stag m1={m1:.6f} m2={m2:.6f} m4={m4:.6f} binder={binder:.6f}")
+        m1_t, m2_t, m4_t = order_parameter(
+            make_sampler(seed), coeff, niter, nms, nwarm, return_trials=True
+        )
+        m1, m2, m4 = float(np.mean(m1_t)), float(np.mean(m2_t)), float(np.mean(m4_t))
+        binder, binder_err = binder_cumulant(m2_t, m4_t)
+        print(
+            f"# stag m1={m1:.6f} m2={m2:.6f} m4={m4:.6f} binder={binder:.6f}"
+            f" binder_err={binder_err:.6f}"
+        )
         return m1, m2, m4
     if what == "neel":
         side = int(round(n**0.5))

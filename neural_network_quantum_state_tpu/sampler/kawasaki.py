@@ -102,3 +102,92 @@ def exchange_sweeps(work: Work, state: MCState, bonds: jnp.ndarray, n_sweeps: in
         n_accepted=state.n_accepted + n_acc,
         n_proposed=state.n_proposed + jnp.float32(n_steps * k),
     )
+
+
+@partial(jax.jit, static_argnames=("bonds_tuple", "n_sweeps", "n_unit_steps", "block_k", "interpret"))
+def exchange_sweeps_fused(
+    work: Work,
+    state: MCState,
+    bonds_tuple: tuple,
+    n_sweeps: int,
+    n_unit_steps: int,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> MCState:
+    """Pallas fused-kernel variant of :func:`exchange_sweeps` (float32, TPU):
+    the whole multi-sweep pair-exchange loop runs in one kernel with y
+    resident in VMEM and every per-walker dynamic choice lowered to static
+    MXU matmuls (ops.pallas_exchange). Statistically equivalent to the XLA
+    scan, different RNG stream. bonds_tuple: hashable ((i, j), ...) table."""
+    from neural_network_quantum_state_tpu.ops.pallas_exchange import pallas_exchange_sweeps
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    key, sub = jax.random.split(state.key)
+    seed = jax.random.randint(sub, (), 0, 2**31 - 1, jnp.int32)
+    n_steps = n_sweeps * n_unit_steps
+    cache, lnpsi, n_acc = pallas_exchange_sweeps(
+        work, state.cache, state.lnpsi, bonds_tuple, seed, n_steps,
+        block_k=block_k, interpret=interpret,
+    )
+    k = state.lnpsi.re.shape[0]
+    return MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=state.n_accepted + n_acc,
+        n_proposed=state.n_proposed + jnp.float32(n_steps * k),
+    )
+
+
+def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: int, axis_name: str = "walkers", interpret: bool = False):
+    """Multi-chip fused exchange sweeps: per-device Pallas kernels on the
+    local walker shard under shard_map (mirrors
+    metropolis.make_fused_sharded_sweeps; pair exchanges are walker-local so
+    no cross-device communication beyond the acceptance psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from neural_network_quantum_state_tpu.ops.engine import Cache
+    from neural_network_quantum_state_tpu.ops.pallas_exchange import pallas_exchange_sweeps
+
+    w_spec = P(axis_name)
+
+    def sweeps_fn(work: Work, state: MCState, n_sweeps: int) -> MCState:
+        n_steps = n_sweeps * n_unit_steps
+
+        def local_body(work, cache, lnpsi, seed):
+            cache, lnpsi, n_acc = pallas_exchange_sweeps(
+                work, cache, lnpsi, bonds_tuple, seed[0], n_steps, interpret=interpret
+            )
+            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
+
+        key, sub = jax.random.split(state.key)
+        n_dev = int(mesh.shape[axis_name])
+        dev_seeds = jax.random.randint(sub, (n_dev,), 0, 2**31 - 1, jnp.int32)
+        state_specs = Cache(spins=w_spec, y=cplx.C(w_spec, w_spec), sa=cplx.C(w_spec, w_spec))
+        ln_specs = cplx.C(w_spec, w_spec)
+        repl = P()
+        work_specs = jax.tree_util.tree_map(lambda _: repl, work)
+        mapped = shard_map(
+            local_body,
+            mesh=mesh,
+            in_specs=(work_specs, state_specs, ln_specs, w_spec),
+            out_specs=(state_specs, ln_specs, repl),
+            check_vma=False,
+        )
+        cache, lnpsi, n_acc = mapped(work, state.cache, state.lnpsi, dev_seeds)
+        k = state.lnpsi.re.shape[0]
+        return MCState(
+            cache=cache,
+            lnpsi=lnpsi,
+            key=key,
+            n_accepted=state.n_accepted + n_acc[0],
+            n_proposed=state.n_proposed + jnp.float32(n_steps * k),
+        )
+
+    return sweeps_fn

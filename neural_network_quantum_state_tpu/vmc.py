@@ -189,11 +189,34 @@ class VMC:
             if config.n_beta > 1:
                 raise NotImplementedError("parallel tempering + exchange sampler")
             bonds, n_unit = hamiltonian.bonds, hamiltonian.n_unit_steps
-
-            def sweep(work, state, n):
+            if config.use_fused_sweeps:
+                if jnp.dtype(machine.real_dtype) != jnp.float32:
+                    raise ValueError("use_fused_sweeps requires a float32 machine")
+                bonds_tuple = tuple(map(tuple, np.asarray(bonds).tolist()))
                 from neural_network_quantum_state_tpu.sampler import kawasaki
 
-                return kawasaki.exchange_sweeps(work, state, bonds, n, n_unit)
+                if mesh is not None:
+                    interp = mesh.devices.ravel()[0].platform == "cpu"
+                    fused_ex = kawasaki.make_fused_exchange_sharded_sweeps(
+                        mesh, bonds_tuple, n_unit, interpret=interp
+                    )
+
+                    def sweep(work, state, n):
+                        return fused_ex(work, state, n)
+
+                else:
+
+                    def sweep(work, state, n):
+                        return kawasaki.exchange_sweeps_fused(work, state, bonds_tuple, n, n_unit)
+
+            else:
+                # XLA-scan path; under a mesh the per-walker ops partition
+                # along the walker axis by pjit alone (no collectives in the
+                # sweep itself - tested mesh-vs-single agreement)
+                def sweep(work, state, n):
+                    from neural_network_quantum_state_tpu.sampler import kawasaki
+
+                    return kawasaki.exchange_sweeps(work, state, bonds, n, n_unit)
 
         elif config.n_beta > 1 and not config.use_fused_sweeps:
 
