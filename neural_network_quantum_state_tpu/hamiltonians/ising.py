@@ -51,7 +51,7 @@ def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int, fused: bool |
     """
     k = cache.spins.shape[0]
     h = work.w.re.shape[1]
-    eligible = cache.spins.dtype == jnp.float32 and work.c is None
+    eligible = cache.spins.dtype == jnp.float32
     if fused is None:
         fused = eligible and jax.devices()[0].platform != "cpu" and len(jax.devices()) == 1
     if fused and eligible:

@@ -5,8 +5,10 @@ reference's per-estimate hot loop (N machine forwards,
 gpu impl_hamiltonians.cuh:234-238). This kernel keeps each walker block's
 y/spins/sa/lnpsi resident in VMEM and loops the N sites on-chip; Mosaic has
 no atan/atan2, so Im ln cosh uses a range-reduced minimax polynomial atan
-(|err| ~1e-6 rad). RBM-family machines (c = None); both Re and Im of the
-ratios are produced (the local energy is complex).
+(|err| ~1e-6 rad). Supports every log-cosh machine: RBM family (c = None)
+and FFNN family (complex output weights c, mirroring the reference's
+dedicated FFNN kernels, gpu/include/neural_quantum_state.cuh:261-373);
+both Re and Im of the ratios are produced (the local energy is complex).
 
 Measured on v5e at N=64/H=256/K=8192: 5.84 ms vs 7.10 ms for the XLA
 chunked path (hamiltonians.ising._offdiag_sum) - the default f32-RBM
@@ -42,6 +44,8 @@ def _energy_kernel(
     s2w_ref,  # (N, H): cos(2*w_im), sin(2*w_im) precomputed by XLA
     are_ref,
     aim_ref,  # (N, 1)
+    cre_ref,
+    cim_ref,  # (1, H): output weights (ones/zeros when c is None)
     spins_ref,  # (N, BK) transposed
     yre_ref,
     yim_ref,  # (BK, H)
@@ -49,6 +53,8 @@ def _energy_kernel(
     saim_ref,  # (BK, 1)
     ore_ref,
     oim_ref,  # (BK, 1) outputs: sum_i exp(ln1_i - ln0)
+    *,
+    has_c: bool = False,
 ):
     n_sites = sched_ref.shape[0]
     ore_ref[:] = jnp.zeros_like(ore_ref)
@@ -66,6 +72,27 @@ def _energy_kernel(
     # Measured 6.24 -> 5.84 ms on v5e (N=64/H=256/K=8192): the win is
     # modest because the loop is not purely transcendental-throughput
     # bound at these shapes; accuracy unchanged (~3e-6 vs the XLA path).
+    #
+    # FFNN family (has_c): complex output weights rotate both lncosh planes
+    # into each of Re/Im ln psi - Re(c*l) = cre*lre - cim*lim,
+    # Im(c*l) = cre*lim + cim*lre (reference FFNN local-energy kernel set,
+    # gpu/include/neural_quantum_state.cuh:261-373). Both planes are already
+    # computed; the extra cost is two fused multiply-adds per hidden unit.
+    cre = cre_ref[:]  # (1, H)
+    cim = cim_ref[:]
+
+    def _csum(lre, lim):
+        """(Re, Im) of sum_j c_j * lncosh_j."""
+        if has_c:
+            return (
+                jnp.sum(cre * lre - cim * lim, axis=1, keepdims=True),
+                jnp.sum(cre * lim + cim * lre, axis=1, keepdims=True),
+            )
+        return (
+            jnp.sum(lre, axis=1, keepdims=True),
+            jnp.sum(lim, axis=1, keepdims=True),
+        )
+
     x0 = yre_ref[:]
     cy = fast_cos(yim_ref[:])
     sy = fast_sin(yim_ref[:])
@@ -76,8 +103,9 @@ def _energy_kernel(
     wim0 = (1.0 - e0) * sy * sgn0
     l0re = 0.5 * jnp.log(wre0 * wre0 + wim0 * wim0) + (absx0 - _LN2)
     l0im = _atan2(wim0, wre0)
-    ln0re = jnp.sum(l0re, axis=1, keepdims=True) + sare_ref[:]
-    ln0im = jnp.sum(l0im, axis=1, keepdims=True) + saim_ref[:]
+    ln0re, ln0im = _csum(l0re, l0im)
+    ln0re = ln0re + sare_ref[:]
+    ln0im = ln0im + saim_ref[:]
 
     def body(t, _):
         site = sched_ref[t]
@@ -85,11 +113,9 @@ def _energy_kernel(
         s_col = jnp.transpose(srow)  # (BK, 1), +-1
         two_s = 2.0 * s_col
         wr = wre_ref[pl.ds(site, 1), :]  # (1, H)
-        wi = wim_ref[pl.ds(site, 1), :]
         c2 = c2w_ref[pl.ds(site, 1), :]
         s2 = s2w_ref[pl.ds(site, 1), :]
         y1re = yre_ref[:] - two_s * wr
-        del wi
         # cos/sin(y_im - 2 s w_im) via angle addition (no trig in the loop)
         ss2 = s_col * s2  # (BK, H)
         c1 = cy * c2 + sy * ss2
@@ -101,8 +127,7 @@ def _energy_kernel(
         wim1 = (1.0 - e1) * s1 * sgn1
         lyre = 0.5 * jnp.log(wre1 * wre1 + wim1 * wim1) + (absx1 - _LN2)
         lyim = _atan2(wim1, wre1)
-        ln1re = jnp.sum(lyre, axis=1, keepdims=True)
-        ln1im = jnp.sum(lyim, axis=1, keepdims=True)
+        ln1re, ln1im = _csum(lyre, lyim)
         ar = are_ref[pl.ds(site, 1), :]
         ai = aim_ref[pl.ds(site, 1), :]
         dre = ln1re + sare_ref[:] - two_s * ar - ln0re
@@ -127,7 +152,7 @@ def pallas_offdiag_sum(
     """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) over `sites` -> C (K,).
 
     Drop-in fused replacement for the XLA chunked path in
-    hamiltonians.ising._offdiag_sum (RBM-family machines, float32).
+    hamiltonians.ising._offdiag_sum (any log-cosh machine, float32).
     ``lnpsi`` is accepted for signature parity but the reference value is
     recomputed in-kernel (see _energy_kernel) so both sides of the ratio
     use one logcosh implementation.
@@ -136,19 +161,20 @@ def pallas_offdiag_sum(
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas energy kernel is float32-only"
-    assert work.c is None, "pallas energy kernel supports c=None (RBM-family) machines"
+    has_c = work.c is not None
     # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
     # legalize (see ops.pallas_sweep); all values here are explicit f32/int32
     with jax.enable_x64(False):
-        return _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h)
+        return _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c)
 
 
-def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
+def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False):
     block_k = min(block_k, k)
     assert k % block_k == 0
     n_blocks = k // block_k
 
     a = work.a if work.a is not None else cplx.zeros((n,), jnp.float32)
+    c = work.c if has_c else C(jnp.ones((h,), jnp.float32), jnp.zeros((h,), jnp.float32))
 
     state_spec = lambda cols: pl.BlockSpec((block_k, cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
     spins_spec = pl.BlockSpec((n, block_k), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
@@ -164,6 +190,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
             fixed_spec(n, h),
             fixed_spec(n, 1),
             fixed_spec(n, 1),
+            fixed_spec(1, h),
+            fixed_spec(1, h),
             spins_spec,
             state_spec(h),
             state_spec(h),
@@ -178,7 +206,7 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
     c2w, s2w = jnp.cos(2.0 * work.w.im), jnp.sin(2.0 * work.w.im)
 
     ore, oim = pl.pallas_call(
-        _energy_kernel,
+        functools.partial(_energy_kernel, has_c=has_c),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((k, 1), jnp.float32),
@@ -193,6 +221,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h):
         s2w,
         a.re.reshape(n, 1),
         a.im.reshape(n, 1),
+        c.re.reshape(1, h),
+        c.im.reshape(1, h),
         cache.spins.T,
         cache.y.re,
         cache.y.im,

@@ -136,3 +136,29 @@ def test_solve_dtype_light_mode_casts_only():
     # the energy estimate is the f32 one, merely widened: equal to f32 eps
     assert abs(float(s32.energy.re) - float(s64.energy.re)) < 1e-5 * abs(float(s64.energy.re))
     assert s64.energy.re.dtype == jnp.float64
+
+
+def test_mixed_precision_reaches_2e4_rel_err():
+    """CI precision net (round-2 verdict item 8): a fixed-seed mixed-precision
+    run (f32 machine/sampling + f64 solve & estimators - the on-chip recipe
+    behind the 1.58e-6 bench figure) must reach <=2e-4 relative error vs ED,
+    so a silent 10-100x precision regression fails CI off-chip rather than
+    only in the driver-run bench."""
+    from neural_network_quantum_state_tpu.utils.exact import ground_energy, tfi_chain_dense
+
+    n = 10
+    machine = RBM(n_inputs=n, n_hiddens=2 * n, dtype=jnp.float32)
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+    cfg = nqs.VMCConfig(
+        n_walkers=1024, learning_rate=1e-2, solver="cg", seed=31,
+        solve_dtype=jnp.float64, energy_dtype=jnp.float64,
+        steps_per_host_loop=25,
+    )
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 300)
+    params, state, history, _ = vmc.run(params, state, 600)
+    e_exact = ground_energy(tfi_chain_dense(n, h=-1.0, j=-1.0))
+    e = float(np.mean([h["energy"] for h in history[-100:]]))
+    rel = abs(e - e_exact) / abs(e_exact)
+    assert rel < 2e-4, (rel, e, e_exact)
