@@ -57,7 +57,7 @@ class Hamiltonian:
         Pallas kernels (which pjit cannot partition on its own)."""
         return self.local_energy(work, cache, lnpsi)
 
-    def local_energy_sharded(self, work: Work, cache: Cache, lnpsi, mesh, axis_name: str = "walkers"):
+    def local_energy_sharded(self, work: Work, cache: Cache, lnpsi, mesh, axis_name=None):
         """Walker-sharded local energy over a device mesh.
 
         The local energy has NO cross-walker terms (it is a per-chain
@@ -73,7 +73,9 @@ class Hamiltonian:
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
-        w_spec = P(axis_name)
+        # all mesh axes carry walkers (1D; or 2D multi-slice (slice, walkers))
+        axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+        w_spec = P(axes)
         repl = P()
 
         def body(work, cache, lnpsi):

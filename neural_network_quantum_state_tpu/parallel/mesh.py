@@ -2,11 +2,18 @@
 
 The reference's only scaling axis is walker parallelism (OpenMP threads /
 CUDA blocks on one device - SURVEY.md 2.7; it has no multi-device layer).
-Here the walker axis shards over a 1D ``jax.sharding.Mesh``; parameters and
+Here the walker axis shards over a ``jax.sharding.Mesh``; parameters and
 SR vectors stay replicated. Inside jit, XLA turns the walker-axis
 contractions (energy mean, aO, F, CG matvec partial sums) into psum-style
 collectives over ICI - O(V) traffic per CG iteration, nothing else crosses
 devices.
+
+Multi-slice (pod / DCN) layout: ``make_mesh_2d`` builds a 2D
+(slice, walkers) mesh and the walker axis shards over BOTH axes
+(P(("slice", "walkers"))), so XLA emits hierarchical reductions - a fast
+all-reduce within each slice's ICI domain, then one small cross-slice
+reduction over DCN per contraction. Every helper here derives the sharding
+spec from ``mesh.axis_names``, so 1D meshes behave exactly as before.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 WALKER_AXIS = "walkers"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = WALKER_AXIS) -> Mesh:
@@ -28,17 +36,40 @@ def make_mesh(n_devices: int | None = None, axis_name: str = WALKER_AXIS) -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def walker_sharding(mesh: Mesh, axis_name: str = WALKER_AXIS) -> NamedSharding:
-    return NamedSharding(mesh, P(axis_name))
+def make_mesh_2d(
+    n_slices: int,
+    n_per_slice: int | None = None,
+    axis_names: tuple[str, str] = (SLICE_AXIS, WALKER_AXIS),
+) -> Mesh:
+    """(n_slices, n_per_slice) mesh for multi-slice pods: the leading axis
+    enumerates ICI domains (slices, connected by DCN), the trailing axis the
+    chips within a slice. Walker sharding spans both axes (walker_axes), so
+    per-sample work never crosses DCN and reductions are hierarchical."""
+    devices = jax.devices()
+    if n_per_slice is None:
+        n_per_slice = len(devices) // n_slices
+    devices = devices[: n_slices * n_per_slice]
+    return Mesh(np.asarray(devices).reshape(n_slices, n_per_slice), axis_names)
+
+
+def walker_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Every mesh axis carries walkers (1D: ("walkers",); 2D multi-slice:
+    ("slice", "walkers") - the walker batch shards over the product)."""
+    return tuple(mesh.axis_names)
+
+
+def walker_sharding(mesh: Mesh, axis_name: str | None = None) -> NamedSharding:
+    spec = P(axis_name) if axis_name is not None else P(walker_axes(mesh))
+    return NamedSharding(mesh, spec)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_walker_tree(tree: Any, mesh: Mesh, n_walkers: int, axis_name: str = WALKER_AXIS) -> Any:
+def shard_walker_tree(tree: Any, mesh: Mesh, n_walkers: int, axis_name: str | None = None) -> Any:
     """device_put a pytree: leaves with leading dim == n_walkers shard on the
-    walker axis, everything else replicates."""
+    walker axis (all mesh axes), everything else replicates."""
     shard = walker_sharding(mesh, axis_name)
     repl = replicated(mesh)
 
@@ -61,14 +92,15 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), repl), tree)
 
 
-def constrain_walkers(x: Any, mesh: Mesh | None, axis_name: str = WALKER_AXIS):
+def constrain_walkers(x: Any, mesh: Mesh | None, axis_name: str | None = None):
     """with_sharding_constraint on the leading (walker) axis of every array
     leaf (pytrees like split-complex C pairs recurse); no-op if mesh is None."""
     if mesh is None:
         return x
+    axes = axis_name if axis_name is not None else walker_axes(mesh)
 
     def one(leaf):
-        spec = P(axis_name, *([None] * (leaf.ndim - 1)))
+        spec = P(axes, *([None] * (leaf.ndim - 1)))
         return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(one, x)

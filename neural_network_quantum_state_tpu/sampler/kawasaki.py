@@ -140,7 +140,7 @@ def exchange_sweeps_fused(
     )
 
 
-def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: int, axis_name: str = "walkers", interpret: bool = False):
+def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: int, axis_name=None, interpret: bool = False):
     """Multi-chip fused exchange sweeps: per-device Pallas kernels on the
     local walker shard under shard_map (mirrors
     metropolis.make_fused_sharded_sweeps; pair exchanges are walker-local so
@@ -155,7 +155,8 @@ def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: i
     from neural_network_quantum_state_tpu.ops.engine import Cache
     from neural_network_quantum_state_tpu.ops.pallas_exchange import pallas_exchange_sweeps
 
-    w_spec = P(axis_name)
+    axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+    w_spec = P(axes)
 
     def sweeps_fn(work: Work, state: MCState, n_sweeps: int) -> MCState:
         n_steps = n_sweeps * n_unit_steps
@@ -164,10 +165,10 @@ def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: i
             cache, lnpsi, n_acc = pallas_exchange_sweeps(
                 work, cache, lnpsi, bonds_tuple, seed[0], n_steps, interpret=interpret
             )
-            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
+            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axes)
 
         key, sub = jax.random.split(state.key)
-        n_dev = int(mesh.shape[axis_name])
+        n_dev = int(np.prod([mesh.shape[a] for a in axes]))
         dev_seeds = jax.random.randint(sub, (n_dev,), 0, 2**31 - 1, jnp.int32)
         state_specs = Cache(spins=w_spec, y=cplx.C(w_spec, w_spec), sa=cplx.C(w_spec, w_spec))
         ln_specs = cplx.C(w_spec, w_spec)

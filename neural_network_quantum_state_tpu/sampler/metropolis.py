@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neural_network_quantum_state_tpu.ops import cplx, engine
 from neural_network_quantum_state_tpu.ops.cplx import C
@@ -117,12 +118,14 @@ def sweeps_fused(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: in
     )
 
 
-def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool = False, n_beta: int = 1):
+def make_fused_sharded_sweeps(mesh, axis_name=None, interpret: bool = False, n_beta: int = 1):
     """Multi-chip fused sweeps: the Pallas kernel runs per-device on the
     local walker shard under shard_map (a pallas_call under plain pjit
     cannot be partitioned by XLA). Weights replicate; each device's kernel
     grid covers only its shard; per-device PRNG seeds are decorrelated with
-    the mesh axis index; acceptance counts psum over the mesh.
+    the mesh axis index; acceptance counts psum over the mesh. On a 2D
+    multi-slice mesh the walker axis spans both mesh axes (sweeps stay
+    device-local; only the scalar acceptance psum crosses slices).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -133,7 +136,8 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
 
     from neural_network_quantum_state_tpu.ops.pallas_sweep import pallas_sweeps
 
-    w_spec = P(axis_name)
+    axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+    w_spec = P(axes)
 
     def sweeps_fn(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int) -> MCState:
         def local_body(work, cache, lnpsi, sched, seed):
@@ -147,10 +151,10 @@ def make_fused_sharded_sweeps(mesh, axis_name: str = "walkers", interpret: bool 
                 work, cache, lnpsi, sched, seed[0], n_sweeps, block_k=None,
                 interpret=interpret, n_beta=n_beta
             )
-            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axis_name)
+            return cache, lnpsi, jax.lax.psum(n_acc.reshape(1), axes)
 
         key, sub = jax.random.split(state.key)
-        n_dev = int(mesh.shape[axis_name])
+        n_dev = int(np.prod([mesh.shape[a] for a in axes]))
         # one independent 31-bit seed per device, drawn from the threefry
         # chain (reference contract: disjoint TRNG4 block streams,
         # impl_mcmc_sampler.hpp:18-24); each device then derives independent

