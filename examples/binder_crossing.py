@@ -4,62 +4,121 @@ The reference paper's headline analysis (README.md:2 - the long-range AFM
 Ising chain study) locates the quantum phase transition from the crossing
 of Binder cumulants U_N(theta) = 1 - m4/(3 m2^2) at different system sizes:
 U grows with N in the ordered phase and shrinks with N in the disordered
-phase, so curves for different N cross at theta_c.
+phase, so curves for different N cross at theta_c (python/meas_smag.py:32-41
+computes U; the crossing analysis itself is the paper's, not the code's).
 
-Inputs: the stag-measurement outputs of drivers.measure (-what=stag with
--nbeta tempered estimation) over the trained theta grids:
-  N=32: runs/RBMTrSymmLICH-L32NF4A2.5T{theta}V7 (round 1)
-  N=64: runs/RBMTrSymmLICH-L64NF4A2.5T{theta}V9 (round 2, 16k iters each)
+Inputs: measurement logs of drivers.measure (-what=stag with tempered
+-nbeta=8 -fused=1 estimation) over the trained theta grids - each log is a
+sequence of '=== theta=X ===' headers followed by
+'# stag m1=... m2=... m4=... binder=... binder_err=...' lines (binder_err
+is the blocked-jackknife error, estimators.binder_cumulant).
 
-Usage: python examples/binder_crossing.py <measure_log_N64> [<measure_log_N32>]
-parses '# stag m1=... m2=... m4=... binder=...' lines in theta order and
-prints the combined table plus the bracketed crossing estimate.
+Usage:
+    python examples/binder_crossing.py [N=LABEL:LOGPATH ...]
+
+Defaults to the committed round-3 logs:
+    32:logs/measure_stag_N32_V10.log  64:logs/measure_stag_N64_V9r3.log
+
+Prints the combined U_N(theta) table and, for each size pair, every
+sign change of U_big - U_small with a linearly interpolated crossing
+estimate and propagated error.
 """
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-THETAS = [0.4, 0.7, 0.9, 1.1, 1.2, 1.3, 1.4, 1.5, 1.57]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_INPUTS = [
+    ("32", os.path.join(REPO, "logs", "measure_stag_N32_V10.log")),
+    ("64", os.path.join(REPO, "logs", "measure_stag_N64_V9r3.log")),
+]
 
-# N=32 Binder values measured in round 1 (RESULTS.md config 3b, nbeta-free
-# plain estimation validated against tempered on this grid)
-BINDER_N32 = [0.04, 0.07, 0.12, 0.23, 0.32, 0.44, 0.53, 0.59, 0.62]
-M1_N32 = [0.17, 0.21, 0.27, 0.38, 0.47, 0.59, 0.72, 0.83, 0.89]
+_HDR = re.compile(r"=== theta=([\d.]+) ===")
+_ROW = re.compile(
+    r"# stag m1=([-\d.e]+) m2=([-\d.e]+) m4=([-\d.e]+) binder=([-\d.e]+)"
+    r"(?: binder_err=([-\d.e]+))?"
+)
 
 
-def parse_stag(path: str):
-    rows = []
-    pat = re.compile(r"# stag m1=([-\d.e]+) m2=([-\d.e]+) m4=([-\d.e]+) binder=([-\d.e]+)")
+def parse_log(path: str) -> dict[float, dict]:
+    """{theta: {m1, m2, m4, U, err}} from a measure-driver log."""
+    out: dict[float, dict] = {}
+    theta = None
     for line in open(path):
-        m = pat.search(line)
-        if m:
-            rows.append(tuple(float(g) for g in m.groups()))
-    return rows
+        h = _HDR.search(line)
+        if h:
+            theta = float(h.group(1))
+            continue
+        m = _ROW.search(line)
+        if m and theta is not None:
+            m1, m2, m4, u = (float(g) for g in m.groups()[:4])
+            err = float(m.group(5)) if m.group(5) else float("nan")
+            out[theta] = {"m1": m1, "m2": m2, "m4": m4, "U": u, "err": err}
+            theta = None
+    return out
+
+
+def crossings(thetas, ua, ub, ea, eb):
+    """Sign changes of D = ub - ua over the theta grid -> list of
+    (theta_lo, theta_hi, theta_c, theta_c_err)."""
+    found = []
+    for i in range(1, len(thetas)):
+        d0, d1 = ub[i - 1] - ua[i - 1], ub[i] - ua[i]
+        if d0 == 0.0 or d0 * d1 >= 0:
+            continue
+        t0, t1 = thetas[i - 1], thetas[i]
+        tc = t0 + (t1 - t0) * (-d0) / (d1 - d0)
+        # propagate the jackknife errors of D at the bracketing points
+        # through the linear interpolation
+        s0 = (ea[i - 1] ** 2 + eb[i - 1] ** 2) ** 0.5
+        s1 = (ea[i] ** 2 + eb[i] ** 2) ** 0.5
+        slope = abs(d1 - d0) / (t1 - t0)
+        terr = ((s0**2 + s1**2) / 2) ** 0.5 / max(slope, 1e-12)
+        found.append((t0, t1, tc, terr))
+    return found
 
 
 def main():
-    rows64 = parse_stag(sys.argv[1])
-    if len(rows64) != len(THETAS):
-        raise SystemExit(f"expected {len(THETAS)} stag rows, got {len(rows64)}")
-    if len(sys.argv) > 2:
-        rows32 = parse_stag(sys.argv[2])
-        b32 = [r[3] for r in rows32]
-        m32 = [r[0] for r in rows32]
-    else:
-        b32, m32 = BINDER_N32, M1_N32
-    print(f"{'theta':>6} {'m1(32)':>8} {'U(32)':>7} {'m1(64)':>8} {'U(64)':>7}")
-    crossing = None
-    for i, t in enumerate(THETAS):
-        m1_64, _, _, b64 = rows64[i]
-        print(f"{t:6.2f} {m32[i]:8.3f} {b32[i]:7.3f} {m1_64:8.3f} {b64:7.3f}")
-        if i > 0 and (rows64[i - 1][3] - b32[i - 1]) * (b64 - b32[i]) < 0:
-            crossing = (THETAS[i - 1], t)
-    if crossing:
-        print(f"# Binder crossing bracketed in theta = ({crossing[0]}, {crossing[1]})")
-    else:
-        print("# no crossing inside the grid (curves do not intersect here)")
+    inputs = DEFAULT_INPUTS
+    if len(sys.argv) > 1:
+        inputs = []
+        for arg in sys.argv[1:]:
+            label, path = arg.split(":", 1)
+            inputs.append((label, path))
+    data = [(label, parse_log(path)) for label, path in inputs]
+    for label, d in data:
+        if not d:
+            raise SystemExit(f"no stag rows parsed for N={label}")
+
+    thetas = sorted(set.intersection(*(set(d) for _, d in data)))
+    hdr = f"{'theta':>6}"
+    for label, _ in data:
+        hdr += f" {'m1(' + label + ')':>9} {'U(' + label + ')':>8} {'+/-':>8}"
+    print(hdr)
+    for t in thetas:
+        row = f"{t:6.2f}"
+        for _, d in data:
+            r = d[t]
+            row += f" {r['m1']:9.4f} {r['U']:8.4f} {r['err']:8.1e}"
+        print(row)
+
+    for i in range(len(data) - 1):
+        (la, da), (lb, db) = data[i], data[i + 1]
+        ua = [da[t]["U"] for t in thetas]
+        ub = [db[t]["U"] for t in thetas]
+        ea = [da[t]["err"] for t in thetas]
+        eb = [db[t]["err"] for t in thetas]
+        found = crossings(thetas, ua, ub, ea, eb)
+        if not found:
+            print(f"# no U({lb})-U({la}) crossing inside the grid")
+        for t0, t1, tc, terr in found:
+            print(
+                f"# U({lb}) x U({la}) crossing in ({t0}, {t1}): "
+                f"theta_c ~ {tc:.4f} +/- {terr:.4f}"
+            )
 
 
 if __name__ == "__main__":

@@ -149,3 +149,60 @@ def tfi_chain_exact_energy(n: int, h: float, j: float) -> float:
     k = (2.0 * m + 1.0) * np.pi / n
     eps = np.sqrt(j * j + h * h - 2.0 * abs(j * h) * np.cos(k))
     return float(-np.sum(eps))
+
+
+def litfi_ground_state_lanczos(
+    n: int, theta: float, alpha: float, pbc: bool = True
+) -> tuple[float, np.ndarray]:
+    """(E0, psi0) of the long-range AFM TFI chain (J = sin theta,
+    h = -cos theta, 1/L scale - LITFIChain conventions) by sparse Lanczos.
+
+    The dense builder (litfi_chain_dense) caps out around N=14 (2^N x 2^N);
+    this matrix-free LinearOperator reaches N~22 on CPU: the diagonal is
+    precomputed over all 2^N states and the sigma^x term is N pure bit-flip
+    permutation gathers per matvec."""
+    import math
+
+    from scipy.sparse.linalg import LinearOperator, eigsh
+
+    j, h = math.sin(theta), -math.cos(theta)
+    i, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = np.abs(i - k).astype(np.float64)
+    if pbc:
+        d = np.minimum(d, n - d)
+    with np.errstate(divide="ignore"):
+        jm = j * d**-alpha
+    np.fill_diagonal(jm, 0.0)
+
+    dim = 2**n
+    s = _spins_table(n)
+    diag = (0.5 / n) * np.einsum("ki,ij,kj->k", s, jm, s)
+    hn = h / n
+    flips = [np.arange(dim) ^ (1 << b) for b in range(n)]
+
+    def matvec(v):
+        out = diag * v
+        for f in flips:
+            out = out + hn * v[f]
+        return out
+
+    op = LinearOperator((dim, dim), matvec=matvec, dtype=np.float64)
+    w, v = eigsh(op, k=1, which="SA")
+    return float(w[0]), v[:, 0]
+
+
+def litfi_binder_exact(n: int, theta: float, alpha: float, pbc: bool = True) -> dict:
+    """Exact ground-state staggered-magnetization moments and Binder
+    cumulant of the LITFI chain: m_s = (1/N) sum_i (-1)^i s_i evaluated
+    over |psi0(s)|^2 (exactly the distribution the stag estimator samples,
+    drivers.measure -what=stag). Anchors the VMC Binder pipeline and the
+    finite-size-crossing drift at ED-reachable sizes."""
+    _, psi = litfi_ground_state_lanczos(n, theta, alpha, pbc)
+    p = psi**2
+    p /= p.sum()
+    s = _spins_table(n)
+    stag = (s * np.where(np.arange(n) % 2 == 0, 1.0, -1.0)).sum(axis=1) / n
+    m1 = float(np.abs(stag) @ p)
+    m2 = float((stag**2) @ p)
+    m4 = float((stag**4) @ p)
+    return {"m1": m1, "m2": m2, "m4": m4, "U": 1.0 - m4 / (3.0 * m2**2)}

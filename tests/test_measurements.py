@@ -203,3 +203,43 @@ def test_amplitude_sampler_fused_cpu_and_odd_nbeta():
     smp.do_mcmc_steps(2)
     assert np.all(np.isfinite(np.asarray(smp.lnpsi.re)))
     assert smp.spins.shape[0] == 128  # beta=1 slice of 384/3
+
+
+def test_binder_pipeline_vs_ed_ground_state():
+    """End-to-end Binder-cumulant pipeline against exact diagonalization:
+    train a LITFI chain (the paper's model) to its ground state, measure
+    the staggered moments through the estimator, and compare U to the
+    exact ground-state value from the Lanczos anchor
+    (utils.exact.litfi_binder_exact). This validates the ENTIRE
+    finite-size-scaling workflow - the round-3 N=64 transition-region
+    re-training was motivated by exactly this check failing at scale."""
+    import math
+
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.hamiltonians import LITFIChain
+    from neural_network_quantum_state_tpu.measurements.estimators import (
+        binder_cumulant,
+        order_parameter,
+    )
+    from neural_network_quantum_state_tpu.models import RBMTrSymm
+    from neural_network_quantum_state_tpu.utils.exact import litfi_binder_exact
+
+    n, theta, alpha = 8, 1.1, 2.5
+    machine = RBMTrSymm(n_inputs=n, alpha=4, dtype=jnp.float64)
+    ham = LITFIChain(n_sites=n, j=math.sin(theta), h=-math.cos(theta), alpha=alpha, pbc=True)
+    # tempered training (n_beta=4): plain single-flip training at this
+    # near-critical theta plateaus at 4% energy error / U biased low by 0.1
+    # (the miniature version of the N=64 transition-region failure this test
+    # guards against); PT reaches rel err ~2e-4
+    vmc = nqs.VMC(machine, ham, nqs.VMCConfig(n_walkers=1024, learning_rate=2e-2, seed=17, n_beta=4))
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 300)
+    params, state, hist, _ = vmc.run(params, state, 1500)
+
+    smp = AmplitudeSampler(machine, params, n_walkers=2048, key=19)
+    coeff = jnp.asarray(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), jnp.float64)
+    m1_t, m2_t, m4_t = order_parameter(smp, coeff, 60, 2, 200, return_trials=True)
+    u, u_err = binder_cumulant(m2_t, m4_t)
+    want = litfi_binder_exact(n, theta, alpha)
+    assert abs(float(np.mean(m1_t)) - want["m1"]) < 0.02
+    assert abs(u - want["U"]) < 0.02, (u, want["U"], u_err)
