@@ -33,7 +33,7 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "energy | renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm"),
+    ("what", "energy | renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm | density"),
     ("model", "energy only: Hamiltonian to evaluate (CH | LICH | SQ | TRI | CB "
               "| hubbard), with -theta/-alpha (LICH), -h/-J (others), -U/-t (hubbard)"),
     ("theta", "energy+LICH: J=sin(theta), h=-cos(theta)"),
@@ -230,6 +230,24 @@ def main(argv=None):
         print(f"# OPDM({site}, m=0..{l - site - 1}): " + " ".join(f"{v.real:+.6f}" for v in row))
         print(f"# wrote {args.find('prefix')}.opdm{site}.dat")
         return row
+    if what == "density":
+        # per-site occupations <n_i> of a particle-conserving fermion state
+        # (the m = 0 OPDM diagonal for every site in one run - the trap
+        # profile observable, fermi_hubbard_CH-train_rbm.cu:117-128)
+        from neural_network_quantum_state_tpu.measurements.fermion import (
+            FermionAmplitudeSampler,
+            density_profile,
+        )
+
+        n_up, n_down = args.mfind("npar", int)
+        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
+        occ = density_profile(fs, niter, nms, nwarm)
+        l = machine.n_inputs // 2
+        np.savetxt(args.find("prefix") + ".density.dat", np.c_[occ[:l], occ[l:]])
+        print("# n_up  : " + " ".join(f"{v:.4f}" for v in occ[:l]))
+        print("# n_down: " + " ".join(f"{v:.4f}" for v in occ[l:]))
+        print(f"# sum n = {occ.sum():.4f}  wrote {args.find('prefix')}.density.dat")
+        return occ
     if what == "zz":
         ss = spin_z_correlation(make_sampler(seed), niter, nms, nwarm)
         np.savetxt(args.find("prefix") + ".zz.dat", ss)

@@ -145,3 +145,24 @@ def opdm_pair(
     # walker mean lowers to a mesh collective when the sampler is sharded
     re, im = sampler.run_estimator(local, n_iterations, n_sweeps)
     return complex(np.mean(re), np.mean(im))
+
+
+def density_profile(
+    sampler: FermionAmplitudeSampler,
+    n_iterations: int,
+    n_sweeps: int = 1,
+    n_warmup: int = 100,
+) -> np.ndarray:
+    """Per-site mean occupations <n_i> for both flavors -> (2L,) array
+    (the m = 0 OPDM diagonal measured for every site in ONE estimator run:
+    n_i = (1 + s_i)/2 under the JW convention, diagonal in the s basis so
+    no forwards are needed). The trap-profile observable of the reference's
+    trapped-Hubbard study (fermi_hubbard_CH-train_rbm.cu:117-128)."""
+    sampler.warm_up(n_warmup)
+
+    def local(cache, lnpsi):
+        del lnpsi
+        return jnp.mean(0.5 * (1.0 + cache.spins), axis=0)  # (2L,)
+
+    occ = sampler.run_estimator(local, n_iterations, n_sweeps)  # (iters, 2L)
+    return np.asarray(np.mean(occ, axis=0))

@@ -385,3 +385,30 @@ def test_measure_energy_mode(tmp_path):
     assert abs(e.real - e_train) < 0.05
     e0 = ground_energy(tfi_chain_dense(8, h=-1.0, j=-1.0))
     assert abs(e.real - e0) / abs(e0) < 0.02
+
+
+def test_measure_density_profile_trap(tmp_path):
+    """-what=density on a trapped Hubbard state: occupations sum to the
+    particle number and peak toward the trap center (reference trap study,
+    fermi_hubbard_CH-train_rbm.cu:117-128)."""
+    res = train.main(
+        [
+            "-model=hubbard", "-ansatz=rbm", "-L=4", "-nf=8", "-ns=256",
+            "-niter=120", "-nwarm=60", "-npar=1,1", "-U=4", "-trap=1.5",
+            "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}", "-rsd=1e-12",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    occ = measure.main(
+        [
+            "-what=density", "-ansatz=rbm", "-L=8", "-nf=8", "-ns=512",
+            f"-prefix={prefix}", "-npar=1,1", "-niter=40", "-nms=2",
+            "-nwarm=100", "-dtype=float64",
+        ]
+    )
+    assert occ.shape == (8,)
+    assert abs(occ.sum() - 2.0) < 1e-6  # particle conservation is exact
+    n_up = occ[:4]
+    # strong trap: the two center sites hold more than the two edges
+    assert n_up[1] + n_up[2] > n_up[0] + n_up[3]
+    assert os.path.exists(prefix + ".density.dat")
