@@ -151,7 +151,7 @@ def main(argv=None):
             from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
 
             n_up, n_down = args.mfind("npar", int)
-            s1 = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
+            s1 = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
         else:
             s1 = make_sampler(seed)
         s1.warm_up(nwarm)
@@ -219,7 +219,7 @@ def main(argv=None):
 
         n_up, n_down = args.mfind("npar", int)
         site = args.find("site", int)
-        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
+        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
         l = machine.n_inputs // 2
         row = [
             opdm_pair(fs, site, m, niter, nms, nwarm if m == 0 else 0)
@@ -240,7 +240,7 @@ def main(argv=None):
         )
 
         n_up, n_down = args.mfind("npar", int)
-        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh)
+        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
         occ = density_profile(fs, niter, nms, nwarm)
         l = machine.n_inputs // 2
         np.savetxt(args.find("prefix") + ".density.dat", np.c_[occ[:l], occ[l:]])

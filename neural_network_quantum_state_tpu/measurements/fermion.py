@@ -40,6 +40,7 @@ class FermionAmplitudeSampler:
         key: jax.Array | int = 0,
         per_flavor_rings: bool = True,
         mesh=None,
+        use_fused: bool = False,
     ):
         """mesh: optional ``jax.sharding.Mesh`` - the walker axis shards
         across it exactly like :class:`AmplitudeSampler`. The Kawasaki
@@ -67,27 +68,48 @@ class FermionAmplitudeSampler:
         )
         self.n_unit_steps = machine.n_inputs
         self.state = metropolis.init_state(self.work, spins, krun)
+        if use_fused and jnp.dtype(machine.real_dtype) != jnp.float32:
+            raise ValueError("use_fused requires a float32 machine")
+        self.use_fused = use_fused
+        self._bonds_tuple = tuple(map(tuple, np.asarray(self.bonds).tolist()))
         if mesh is not None:
             from neural_network_quantum_state_tpu.parallel import mesh as meshlib
 
             self.state = meshlib.shard_walker_tree(self.state, mesh, n_walkers)
             self.work = machine.make_work(meshlib.replicate_tree(params, mesh))
 
+    def _advance_fn(self, n_sweeps: int):
+        """One (jit-friendly) sweep-advance closure: fused Pallas exchange
+        kernel (per-walker pair choice as static MXU matmuls,
+        ops.pallas_exchange) or the XLA scan."""
+        work, bonds, nus = self.work, self.bonds, self.n_unit_steps
+        if self.use_fused:
+            bonds_t = self._bonds_tuple
+            interp = jax.devices()[0].platform == "cpu"
+
+            def adv(state):
+                return kawasaki.exchange_sweeps_fused(
+                    work, state, bonds_t, n_sweeps, nus, interpret=interp
+                )
+
+            return adv
+        return lambda state: kawasaki.exchange_sweeps(work, state, bonds, n_sweeps, nus)
+
     def warm_up(self, n_sweeps: int) -> None:
         self.do_mcmc_steps(n_sweeps)
 
     def do_mcmc_steps(self, n_sweeps: int) -> None:
-        self.state = kawasaki.exchange_sweeps(self.work, self.state, self.bonds, n_sweeps, self.n_unit_steps)
+        self.state = self._advance_fn(n_sweeps)(self.state)
 
     def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1):
         """Run ``n_iterations`` of (advance n_sweeps; accum_fn(cache, lnpsi))
         as ONE device computation (lax.scan), like
         :meth:`AmplitudeSampler.run_estimator` - one dispatch per
         measurement instead of one per iteration."""
-        work, bonds, nus = self.work, self.bonds, self.n_unit_steps
+        adv = self._advance_fn(n_sweeps)
 
         def body(state, _):
-            state = kawasaki.exchange_sweeps(work, state, bonds, n_sweeps, nus)
+            state = adv(state)
             return state, accum_fn(state.cache, state.lnpsi)
 
         @jax.jit

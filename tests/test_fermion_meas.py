@@ -87,3 +87,31 @@ def test_fermion_sampler_conserves():
     s = np.asarray(smp.spins)
     assert np.all(((1 + s[:, :L]) / 2).sum(1) == 1)
     assert np.all(((1 + s[:, L:]) / 2).sum(1) == 2)
+
+
+def test_fermion_sampler_fused_matches_xla():
+    """use_fused=True drives the fermion estimator through the Pallas
+    exchange kernel (interpret mode off-TPU): density profile and double
+    occupancy agree with the XLA-scan sampler within MC error."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_network_quantum_state_tpu.measurements.fermion import (
+        FermionAmplitudeSampler,
+        density_profile,
+        opdm_pair,
+    )
+    from neural_network_quantum_state_tpu.models import RBM
+
+    l = 3
+    machine = RBM(n_inputs=2 * l, n_hiddens=8, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(3))
+    f1 = FermionAmplitudeSampler(machine, params, 1024, 1, 1, key=5)
+    f2 = FermionAmplitudeSampler(machine, params, 1024, 1, 1, key=6, use_fused=True)
+    d1 = density_profile(f1, 40, 2, 150)
+    d2 = density_profile(f2, 40, 2, 150)
+    assert abs(d1.sum() - 2.0) < 1e-5 and abs(d2.sum() - 2.0) < 1e-5
+    np.testing.assert_allclose(d1, d2, atol=0.05)
+    o1 = opdm_pair(f1, 0, 1, 40, 2, 50)
+    o2 = opdm_pair(f2, 0, 1, 40, 2, 50)
+    assert abs(o1.real - o2.real) < 0.05
