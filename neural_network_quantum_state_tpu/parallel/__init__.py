@@ -1,5 +1,9 @@
 from neural_network_quantum_state_tpu.parallel import mesh
 from neural_network_quantum_state_tpu.parallel.mesh import (
+    PARAM_AXIS,
+    constrain_o_mat,
+    make_mesh_tp,
+    o_mat_spec,
     SLICE_AXIS,
     WALKER_AXIS,
     constrain_walkers,
@@ -12,6 +16,10 @@ from neural_network_quantum_state_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "PARAM_AXIS",
+    "constrain_o_mat",
+    "make_mesh_tp",
+    "o_mat_spec",
     "SLICE_AXIS",
     "WALKER_AXIS",
     "constrain_walkers",

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 WALKER_AXIS = "walkers"
 SLICE_AXIS = "slice"
+PARAM_AXIS = "params"
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = WALKER_AXIS) -> Mesh:
@@ -52,10 +53,52 @@ def make_mesh_2d(
     return Mesh(np.asarray(devices).reshape(n_slices, n_per_slice), axis_names)
 
 
+def make_mesh_tp(
+    n_walker_devices: int,
+    n_param_devices: int,
+    axis_names: tuple[str, str] = (WALKER_AXIS, PARAM_AXIS),
+) -> Mesh:
+    """(walkers, params) mesh for parameter-sharded SR at very large V
+    (SURVEY.md 2.7 'optional parameter-sharded matvec (TP)'): sampling
+    data-parallelizes over BOTH axes (every axis carries walkers - the
+    sweep is embarrassingly parallel), then the SR solve reshards the
+    (K, V) log-derivative matrix to walkers x params tiles so each CG
+    matvec is a 2D-blocked GEMM pair - O(K/d_w * V/d_p) memory per device
+    instead of O(K/d * V), with psum reductions over the contracted axis."""
+    devices = jax.devices()[: n_walker_devices * n_param_devices]
+    return Mesh(np.asarray(devices).reshape(n_walker_devices, n_param_devices), axis_names)
+
+
 def walker_axes(mesh: Mesh) -> tuple[str, ...]:
-    """Every mesh axis carries walkers (1D: ("walkers",); 2D multi-slice:
-    ("slice", "walkers") - the walker batch shards over the product)."""
+    """Every mesh axis carries walkers for SAMPLING (1D: ("walkers",); 2D
+    multi-slice: ("slice", "walkers"); TP: ("walkers", "params") - the
+    sweep is per-walker, so maximal data parallelism is always right).
+    The SR solve separately reshards o_mat via o_mat_spec."""
     return tuple(mesh.axis_names)
+
+
+def o_mat_spec(mesh: Mesh) -> P:
+    """PartitionSpec for the (K, V) log-derivative matrix in the SR solve:
+    with a PARAM_AXIS in the mesh, walkers over the non-param axes and V
+    over the param axis (2D-blocked matvecs); otherwise walker-sharded
+    rows with V replicated."""
+    w_axes = tuple(a for a in mesh.axis_names if a != PARAM_AXIS)
+    if PARAM_AXIS in mesh.axis_names:
+        return P(w_axes, PARAM_AXIS)
+    return P(w_axes)
+
+
+def constrain_o_mat(x: Any, mesh: Mesh | None):
+    """with_sharding_constraint for (K, V) o_mat leaves per o_mat_spec;
+    no-op if mesh is None."""
+    if mesh is None:
+        return x
+    spec = o_mat_spec(mesh)
+
+    def one(leaf):
+        return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(one, x)
 
 
 def walker_sharding(mesh: Mesh, axis_name: str | None = None) -> NamedSharding:

@@ -316,7 +316,10 @@ class VMC:
                     htilda = ham.local_energy(work, cache, lnpsi)
             with jax.named_scope("grad_log"):
                 o_mat = machine.grad_log(params, cache)
-                o_mat = meshlib.constrain_walkers(o_mat, mesh)
+                # walker-sharded rows; with a TP mesh ("params" axis) this
+                # also splits V into column blocks, so every CG matvec is a
+                # 2D-blocked GEMM pair with psum over the contracted axis
+                o_mat = meshlib.constrain_o_mat(o_mat, mesh)
             if sdt != edt:
                 htilda, o_mat = htilda.astype(sdt), o_mat.astype(sdt)
             return htilda, o_mat

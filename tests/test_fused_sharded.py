@@ -269,3 +269,25 @@ def test_vmc_2d_multislice_mesh_matches_1d():
     np.testing.assert_allclose(e1, e2, rtol=1e-4)
     e3 = train(nqs.parallel.make_mesh_2d(2, 4), fused=True)
     assert all(np.isfinite(v) for v in e3)
+
+
+def test_vmc_tp_param_sharded_mesh_matches_1d():
+    """TP (walkers x params) mesh: sampling data-parallelizes over both
+    axes; the SR solve reshards o_mat to (K/d_w, V/d_p) tiles so CG
+    matvecs become 2D-blocked GEMMs (SURVEY.md 2.7 'parameter-sharded
+    matvec'). Physics must match the 1D walker mesh exactly (same seed)."""
+    n = 12
+    ham = TFIChain(n_sites=n, h=-1.0, j=-1.0)
+
+    def train(mesh):
+        machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
+        cfg = nqs.VMCConfig(n_walkers=256, learning_rate=1e-2, solver="cg", seed=4)
+        vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
+        params, state = vmc.init()
+        state = vmc.warm_up(params, state, 20)
+        params, state, hist, _ = vmc.run(params, state, 15)
+        return [h["energy"] for h in hist]
+
+    e1 = train(nqs.parallel.make_mesh(8))
+    e2 = train(nqs.parallel.make_mesh_tp(2, 4))
+    np.testing.assert_allclose(e1, e2, rtol=1e-4)
