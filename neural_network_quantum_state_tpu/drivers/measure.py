@@ -42,6 +42,7 @@ OPTIONS = [
     ("J", "energy, non-LICH: Ising coupling"),
     ("U", "energy+hubbard: onsite interaction"),
     ("t", "energy+hubbard: hopping"),
+    ("trap", "energy+hubbard: harmonic-trap strength V (V*(i-(L-1)/2)^2, 0 = off)"),
     ("pbc", "energy: periodic boundary (1/0)"),
     ("ansatz", "machine family of the checkpoint"),
     ("L", "# of machine inputs"),
@@ -73,6 +74,7 @@ DEFAULTS = {
     "J": "-1",
     "U": "4",
     "t": "1",
+    "trap": "0",
     "pbc": "1",
     "prefix2": "None",
     "l": "0",
@@ -142,6 +144,12 @@ def main(argv=None):
         elif model == "hubbard":
             n_up, n_down = args.mfind("npar", int)
             ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
+            trap = args.find("trap", float)
+            if trap != 0.0:
+                # same trap vector the train driver builds (train.py:125-131)
+                l_sites = n // 2
+                centered = np.arange(l_sites) - (l_sites - 1) / 2.0
+                ham_kw.update(v=tuple(np.tile(trap * centered**2, 2)))
         elif model == "cb":
             ham_kw.update(h=args.find("h", float), j1=args.find("J", float))
         else:

@@ -412,3 +412,35 @@ def test_measure_density_profile_trap(tmp_path):
     # strong trap: the two center sites hold more than the two edges
     assert n_up[1] + n_up[2] > n_up[0] + n_up[3]
     assert os.path.exists(prefix + ".density.dat")
+
+
+def test_measure_energy_mode_hubbard_trap(tmp_path):
+    """-what=energy with -trap: the measured <H> of a trapped Hubbard state
+    must include the one-body trap term (same vector the train driver
+    builds, train.py:125-131) and agree with the end-of-training energy."""
+    res = train.main(
+        [
+            "-model=hubbard", "-ansatz=rbm", "-L=4", "-nf=8", "-ns=256",
+            "-niter=120", "-nwarm=60", "-npar=1,1", "-U=4", "-trap=1.5",
+            "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}", "-rsd=1e-12",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    e_train = np.mean([h["energy"] for h in res[0]["history"][-20:]])
+    e, _err = measure.main(
+        [
+            "-what=energy", "-model=hubbard", "-U=4", "-t=1", "-trap=1.5",
+            "-ansatz=rbm", "-L=8", "-nf=8", "-ns=512", f"-prefix={prefix}",
+            "-npar=1,1", "-niter=40", "-nms=2", "-nwarm=100", "-dtype=float64",
+        ]
+    )
+    assert abs(e.real - e_train) < 0.1
+    # omitting -trap must measure a visibly different (lower 1-body) energy
+    e_nt, _ = measure.main(
+        [
+            "-what=energy", "-model=hubbard", "-U=4", "-t=1",
+            "-ansatz=rbm", "-L=8", "-nf=8", "-ns=512", f"-prefix={prefix}",
+            "-npar=1,1", "-niter=40", "-nms=2", "-nwarm=100", "-dtype=float64",
+        ]
+    )
+    assert e.real - e_nt.real > 0.2  # trap term is positive and material
