@@ -14,7 +14,14 @@ sequence of '=== theta=X ===' headers followed by
 is the blocked-jackknife error, estimators.binder_cumulant).
 
 Usage:
-    python examples/binder_crossing.py [N=LABEL:LOGPATH ...]
+    python examples/binder_crossing.py [LABEL:PATH ...]
+
+where PATH is either a measure-driver log or an exact-diagonalization
+grid JSON ({"thetas": [...], "U": {"<N>": [...]}}, produced by
+utils.exact.litfi_binder_exact sweeps) — for a JSON input, LABEL must be
+the size key to pull (errors are exact zeros).  Inputs may cover
+different theta grids: the table shows the union, crossings are computed
+per consecutive size pair over that pair's common grid.
 
 Defaults to the committed round-3 logs:
     32:logs/measure_stag_N32_V10.log  64:logs/measure_stag_N64_V9r3.log
@@ -61,9 +68,32 @@ def parse_log(path: str) -> dict[float, dict]:
     return out
 
 
+def parse_exact_json(path: str, size: str) -> dict[float, dict]:
+    """{theta: {U, err=0}} for one size key of an ED-grid JSON."""
+    import json
+
+    with open(path) as f:
+        grid = json.load(f)
+    us = grid["U"][size]
+    nan = float("nan")
+    return {
+        float(t): {"m1": nan, "m2": nan, "m4": nan, "U": u, "err": 0.0}
+        for t, u in zip(grid["thetas"], us)
+    }
+
+
+def parse_input(label: str, path: str) -> dict[float, dict]:
+    if path.endswith(".json"):
+        return parse_exact_json(path, label)
+    return parse_log(path)
+
+
 def crossings(thetas, ua, ub, ea, eb):
     """Sign changes of D = ub - ua over the theta grid -> list of
-    (theta_lo, theta_hi, theta_c, theta_c_err)."""
+    (theta_lo, theta_hi, theta_c, theta_c_err, significant).  A crossing
+    is `significant` when the bracketing differences both exceed their
+    own propagated 1-sigma errors — sign flips inside the error band
+    (e.g. in the saturated-U deep phase) are reported but flagged."""
     found = []
     for i in range(1, len(thetas)):
         d0, d1 = ub[i - 1] - ua[i - 1], ub[i] - ua[i]
@@ -77,7 +107,8 @@ def crossings(thetas, ua, ub, ea, eb):
         s1 = (ea[i] ** 2 + eb[i] ** 2) ** 0.5
         slope = abs(d1 - d0) / (t1 - t0)
         terr = ((s0**2 + s1**2) / 2) ** 0.5 / max(slope, 1e-12)
-        found.append((t0, t1, tc, terr))
+        sig = abs(d0) > s0 and abs(d1) > s1
+        found.append((t0, t1, tc, terr, sig))
     return found
 
 
@@ -88,36 +119,42 @@ def main():
         for arg in sys.argv[1:]:
             label, path = arg.split(":", 1)
             inputs.append((label, path))
-    data = [(label, parse_log(path)) for label, path in inputs]
+    data = [(label, parse_input(label, path)) for label, path in inputs]
     for label, d in data:
         if not d:
             raise SystemExit(f"no stag rows parsed for N={label}")
 
-    thetas = sorted(set.intersection(*(set(d) for _, d in data)))
+    thetas = sorted(set.union(*(set(d) for _, d in data)))
     hdr = f"{'theta':>6}"
     for label, _ in data:
         hdr += f" {'m1(' + label + ')':>9} {'U(' + label + ')':>8} {'+/-':>8}"
     print(hdr)
+    blank = f" {'-':>9} {'-':>8} {'-':>8}"
     for t in thetas:
-        row = f"{t:6.2f}"
+        row = f"{t:6.3f}"
         for _, d in data:
-            r = d[t]
-            row += f" {r['m1']:9.4f} {r['U']:8.4f} {r['err']:8.1e}"
+            r = d.get(t)
+            row += f" {r['m1']:9.4f} {r['U']:8.4f} {r['err']:8.1e}" if r else blank
         print(row)
 
     for i in range(len(data) - 1):
         (la, da), (lb, db) = data[i], data[i + 1]
-        ua = [da[t]["U"] for t in thetas]
-        ub = [db[t]["U"] for t in thetas]
-        ea = [da[t]["err"] for t in thetas]
-        eb = [db[t]["err"] for t in thetas]
-        found = crossings(thetas, ua, ub, ea, eb)
+        common = sorted(set(da) & set(db))
+        if len(common) < 2:
+            print(f"# <2 common thetas for the ({la}, {lb}) pair - no crossing scan")
+            continue
+        ua = [da[t]["U"] for t in common]
+        ub = [db[t]["U"] for t in common]
+        ea = [da[t]["err"] for t in common]
+        eb = [db[t]["err"] for t in common]
+        found = crossings(common, ua, ub, ea, eb)
         if not found:
             print(f"# no U({lb})-U({la}) crossing inside the grid")
-        for t0, t1, tc, terr in found:
+        for t0, t1, tc, terr, sig in found:
+            note = "" if sig else "  [NOT significant at 1 sigma]"
             print(
                 f"# U({lb}) x U({la}) crossing in ({t0}, {t1}): "
-                f"theta_c ~ {tc:.4f} +/- {terr:.4f}"
+                f"theta_c ~ {tc:.4f} +/- {terr:.4f}{note}"
             )
 
 
