@@ -137,6 +137,7 @@ def main():
             row += f" {r['m1']:9.4f} {r['U']:8.4f} {r['err']:8.1e}" if r else blank
         print(row)
 
+    pair_crossings = []  # (N_small, theta_c, err) of significant crossings
     for i in range(len(data) - 1):
         (la, da), (lb, db) = data[i], data[i + 1]
         common = sorted(set(da) & set(db))
@@ -156,6 +157,28 @@ def main():
                 f"# U({lb}) x U({la}) crossing in ({t0}, {t1}): "
                 f"theta_c ~ {tc:.4f} +/- {terr:.4f}{note}"
             )
+            if sig:
+                pair_crossings.append((float(la), tc, terr))
+
+    # Finite-size-scaling extrapolation: the pair crossing theta_c(N, 2N)
+    # drifts as theta_c(N) = theta_c(inf) + a/N to leading order; with two
+    # or more significant pair crossings, fit U-weighted least squares in
+    # x = 1/N_small and report the intercept.
+    if len(pair_crossings) >= 2:
+        xs = [1.0 / n for n, _, _ in pair_crossings]
+        ys = [tc for _, tc, _ in pair_crossings]
+        ws = [1.0 / max(e, 1e-4) ** 2 for _, _, e in pair_crossings]
+        sw = sum(ws)
+        mx = sum(w * x for w, x in zip(ws, xs)) / sw
+        my = sum(w * y for w, y in zip(ws, ys)) / sw
+        sxx = sum(w * (x - mx) ** 2 for w, x in zip(ws, xs))
+        a = sum(w * (x - mx) * (y - my) for w, x, y in zip(ws, xs, ys)) / sxx
+        b = my - a * mx
+        berr = (1.0 / sw + mx**2 / sxx) ** 0.5
+        print(
+            f"# FSS extrapolation over {len(pair_crossings)} pair crossings: "
+            f"theta_c(inf) ~ {b:.4f} +/- {berr:.4f}  (drift slope a={a:.3f})"
+        )
 
 
 if __name__ == "__main__":
