@@ -143,9 +143,52 @@ def bench_sweep_throughput():
     )
 
 
+def bench_exchange_throughput():
+    """Kawasaki exchange (fermion/Hubbard) walker-sweeps/sec through the
+    fused Pallas kernel - the hot loop of the JW Hubbard training path
+    (reference: gpu/include/impl_kawasaki_updater.cuh + knMCUnitSteps =
+    nInputs, impl_hamiltonians.cuh:608)."""
+    import numpy as np
+
+    from neural_network_quantum_state_tpu.hamiltonians import HubbardChain
+    from neural_network_quantum_state_tpu.models import RBM
+    from neural_network_quantum_state_tpu.sampler import kawasaki
+
+    l, k, n_sweeps = 32, 4096, 5
+    n = 2 * l
+    machine = RBM(n_inputs=n, n_hiddens=n, dtype=jnp.float32)
+    ham = HubbardChain(n_sites=n, u=4.0, t=1.0, n_up=5, n_down=5, pbc=True)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    work = machine.make_work(params)
+    spins = ham.init_spins(jax.random.PRNGKey(1), k, jnp.float32)
+    state = metropolis.init_state(work, spins, jax.random.PRNGKey(2))
+    bonds_tuple = tuple(map(tuple, np.asarray(ham.bonds).tolist()))
+
+    state = kawasaki.exchange_sweeps_fused(work, state, bonds_tuple, n_sweeps, ham.n_unit_steps)
+    float(state.lnpsi.re[0])  # force execution (remote-dispatch skew)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = kawasaki.exchange_sweeps_fused(work, state, bonds_tuple, n_sweeps, ham.n_unit_steps)
+    float(state.lnpsi.re[0])
+    dt = time.perf_counter() - t0
+    sweeps_per_sec = k * n_sweeps * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kawasaki_exchange_walker_sweeps_per_sec_L32_hubbard",
+                "value": round(sweeps_per_sec, 1),
+                "unit": "sweeps/s",
+                "vs_baseline": None,  # reference has no fermion perf target
+            }
+        )
+    )
+
+
 def main():
     bench_energy_rel_err()
     bench_sr_solves()
+    bench_exchange_throughput()
     bench_sweep_throughput()  # headline metric LAST (single-line parsers)
 
 
