@@ -1,0 +1,126 @@
+"""Unit tests for the Binder-crossing analysis (examples/binder_crossing.py).
+
+The crossing table is the round's headline physics deliverable (reference
+README.md:2 - the paper's finite-size-scaling analysis); this guards the
+log/ED-grid parsers, the sign-change crossing scan with error propagation,
+and the 1/N finite-size-scaling extrapolation against hand-checkable
+synthetic data.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bc():
+    spec = importlib.util.spec_from_file_location(
+        "binder_crossing", os.path.join(REPO, "examples", "binder_crossing.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["binder_crossing"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_log(bc, tmp_path):
+    log = tmp_path / "m.log"
+    log.write_text(
+        "=== theta=0.9 ===\n"
+        "# prefix: runs/X\n"
+        "# stag m1=0.4018 m2=0.2 m4=0.05 binder=0.5833 binder_err=1.2e-03\n"
+        "=== theta=1.0 ===\n"
+        "junk line\n"
+        "# stag m1=0.8425 m2=0.72 m4=0.53 binder=0.6593\n"
+    )
+    d = bc.parse_log(str(log))
+    assert set(d) == {0.9, 1.0}
+    assert d[0.9]["U"] == pytest.approx(0.5833)
+    assert d[0.9]["err"] == pytest.approx(1.2e-3)
+    assert d[0.9]["m1"] == pytest.approx(0.4018)
+    # missing binder_err parses as nan, not a crash
+    assert d[1.0]["U"] == pytest.approx(0.6593)
+    assert d[1.0]["err"] != d[1.0]["err"]
+
+
+def test_parse_exact_json(bc, tmp_path):
+    grid = {"thetas": [0.9, 0.925], "U": {"12": [0.54, 0.58], "24": [0.52, 0.59]}}
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(grid))
+    d = bc.parse_exact_json(str(p), "24")
+    assert d[0.925]["U"] == pytest.approx(0.59)
+    assert d[0.9]["err"] == 0.0
+    # the generic dispatcher routes .json to the ED parser
+    assert bc.parse_input("12", str(p))[0.9]["U"] == pytest.approx(0.54)
+
+
+def test_crossing_linear_interpolation(bc):
+    # U_small = 0.5 flat; U_big crosses it linearly between 0.9 and 1.0 at
+    # exactly 0.94: D = ub - ua goes -0.02 -> +0.03
+    thetas = [0.8, 0.9, 1.0]
+    ua = [0.5, 0.5, 0.5]
+    ub = [0.40, 0.48, 0.53]
+    found = bc.crossings(thetas, ua, ub, [0.001] * 3, [0.001] * 3)
+    assert len(found) == 1
+    t0, t1, tc, terr, sig = found[0]
+    assert (t0, t1) == (0.9, 1.0)
+    assert tc == pytest.approx(0.94)
+    assert sig  # |D| = 0.02 and 0.03 both >> 1.4e-3 propagated sigma
+    assert terr < 0.01
+
+
+def test_crossing_significance_flag(bc):
+    # same geometry but with errors larger than the bracketing differences:
+    # the crossing must be reported yet flagged not-significant
+    thetas = [0.9, 1.0]
+    found = bc.crossings(thetas, [0.5, 0.5], [0.48, 0.53], [0.05, 0.05], [0.05, 0.05])
+    assert len(found) == 1
+    assert not found[0][4]
+
+
+def test_no_crossing_on_monotone_gap(bc):
+    found = bc.crossings([0.9, 1.0, 1.1], [0.5] * 3, [0.6, 0.62, 0.64], [0.01] * 3, [0.01] * 3)
+    assert found == []
+
+
+def test_fss_extrapolation_recovers_intercept(bc, capsys, tmp_path, monkeypatch):
+    # synthetic drift theta_c(N) = 0.90 + 0.3/N sampled through one ED-grid
+    # input holding three sizes: the consecutive pair crossings are
+    # tc(8,16) = 0.9375 and tc(16,32) = 0.91875, and the 1/N_small-weighted
+    # FSS fit through (1/8, 0.9375), (1/16, 0.91875) has intercept exactly
+    # 0.90. Linear U curves with slope prop. to N, constructed so each pair
+    # crosses at its target: U32/U16 anchored at tc(16,32), U8 anchored to
+    # pass through U16 at tc(8,16).
+    a1, a2 = 0.90 + 0.3 / 8, 0.90 + 0.3 / 16
+    u16 = lambda t: 0.5 + 1.6 * (t - a2)  # noqa: E731
+    u32 = lambda t: 0.5 + 3.2 * (t - a2)  # noqa: E731
+    u8 = lambda t: u16(a1) + 0.8 * (t - a1)  # noqa: E731
+    thetas = [0.85, 0.9, 0.95, 1.0]
+    grid = {
+        "thetas": thetas,
+        "U": {
+            "8": [u8(t) for t in thetas],
+            "16": [u16(t) for t in thetas],
+            "32": [u32(t) for t in thetas],
+        },
+    }
+    p = tmp_path / "grid.json"
+    p.write_text(json.dumps(grid))
+
+    monkeypatch.setattr(sys, "argv", ["bc", f"8:{p}", f"16:{p}", f"32:{p}"])
+    bc.main()
+    out = capsys.readouterr().out
+    assert "theta_c ~ 0.9375" in out
+    assert "theta_c ~ 0.9187" in out or "theta_c ~ 0.9188" in out
+    import re
+
+    m = re.search(r"theta_c\(inf\) ~ ([\d.]+)", out)
+    assert m, out
+    assert abs(float(m.group(1)) - 0.90) < 1e-3
