@@ -55,6 +55,7 @@ def _energy_kernel(
     oim_ref,  # (BK, 1) outputs: sum_i exp(ln1_i - ln0)
     *,
     has_c: bool = False,
+    unroll: int = 1,
 ):
     n_sites = sched_ref.shape[0]
     ore_ref[:] = jnp.zeros_like(ore_ref)
@@ -107,8 +108,8 @@ def _energy_kernel(
     ln0re = ln0re + sare_ref[:]
     ln0im = ln0im + saim_ref[:]
 
-    def body(t, _):
-        site = sched_ref[t]
+    def _site_terms(site):
+        """(Re, Im) contribution exp(ln1 - ln0) of flipping `site`."""
         srow = spins_ref[pl.ds(site, 1), :]  # (1, BK)
         s_col = jnp.transpose(srow)  # (BK, 1), +-1
         two_s = 2.0 * s_col
@@ -133,14 +134,27 @@ def _energy_kernel(
         dre = ln1re + sare_ref[:] - two_s * ar - ln0re
         dim = ln1im + saim_ref[:] - two_s * ai - ln0im
         mag = jnp.exp(dre)
-        ore_ref[:] = ore_ref[:] + mag * jnp.cos(dim)
-        oim_ref[:] = oim_ref[:] + mag * jnp.sin(dim)
+        return mag * jnp.cos(dim), mag * jnp.sin(dim)
+
+    # `unroll` independent site flips per loop iteration: unlike the sweep
+    # kernel's serial Metropolis chain, every flip evaluates against the SAME
+    # base state, so the unrolled chains have no data dependence and Mosaic
+    # can software-pipeline their transcendentals (ILP). n_sites % unroll == 0
+    # is asserted by the caller.
+    def body(t, _):
+        acc_re, acc_im = ore_ref[:], oim_ref[:]
+        for u in range(unroll):
+            tre, tim = _site_terms(sched_ref[t * unroll + u])
+            acc_re = acc_re + tre
+            acc_im = acc_im + tim
+        ore_ref[:] = acc_re
+        oim_ref[:] = acc_im
         return 0
 
-    jax.lax.fori_loop(0, n_sites, body, 0)
+    jax.lax.fori_loop(0, n_sites // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret", "unroll"))
 def pallas_offdiag_sum(
     work: Work,
     cache: Cache,
@@ -148,6 +162,7 @@ def pallas_offdiag_sum(
     sites: jnp.ndarray,
     block_k: int = 1024,
     interpret: bool = False,
+    unroll: int = 1,
 ) -> C:
     """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) over `sites` -> C (K,).
 
@@ -155,20 +170,25 @@ def pallas_offdiag_sum(
     hamiltonians.ising._offdiag_sum (any log-cosh machine, float32).
     ``lnpsi`` is accepted for signature parity but the reference value is
     recomputed in-kernel (see _energy_kernel) so both sides of the ratio
-    use one logcosh implementation.
+    use one logcosh implementation. ``unroll`` > 1 evaluates that many
+    independent site flips per loop iteration (ILP); the site count must be
+    divisible by it.
     """
     del lnpsi
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
     assert cache.spins.dtype == jnp.float32, "pallas energy kernel is float32-only"
+    assert sites.shape[0] % unroll == 0, (sites.shape[0], unroll)
     has_c = work.c is not None
     # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
     # legalize (see ops.pallas_sweep); all values here are explicit f32/int32
     with jax.enable_x64(False):
-        return _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c)
+        return _pallas_offdiag_body(
+            work, cache, sites, block_k, interpret, k, n, h, has_c, unroll
+        )
 
 
-def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False):
+def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False, unroll=1):
     block_k = min(block_k, k)
     assert k % block_k == 0
     n_blocks = k // block_k
@@ -206,7 +226,7 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
     c2w, s2w = jnp.cos(2.0 * work.w.im), jnp.sin(2.0 * work.w.im)
 
     ore, oim = pl.pallas_call(
-        functools.partial(_energy_kernel, has_c=has_c),
+        functools.partial(_energy_kernel, has_c=has_c, unroll=unroll),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((k, 1), jnp.float32),

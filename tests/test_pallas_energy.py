@@ -74,3 +74,23 @@ def test_local_energy_sharded_matches_single_device():
         # covers the implementation difference, not sharding error
         np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_offdiag_kernel_unroll_matches_unroll1(unroll):
+    """unroll>1 evaluates several independent site flips per loop iteration
+    (ILP A/B knob); results must be identical to the unroll=1 kernel up to
+    summation order."""
+    n, k = 16, 128
+    machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(2))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(3), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sites = jnp.arange(n, dtype=jnp.int32)
+    base = pallas_offdiag_sum(work, cache, lnpsi, sites, block_k=64, interpret=True)
+    got = pallas_offdiag_sum(
+        work, cache, lnpsi, sites, block_k=64, interpret=True, unroll=unroll
+    )
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(base.re), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(base.im), rtol=1e-5, atol=1e-6)
