@@ -92,7 +92,32 @@ def bench_ffnn_energy(n=64, m=256, k=8192):
     print(f"  speedup     : {t_x/t_f:.2f}x")
 
 
+def bench_energy_unroll(n=64, m=256, k=8192):
+    """Multi-site unroll A/B on the fused energy kernel (independent flips
+    per loop iteration -> ILP; ops/pallas_energy.py `unroll`)."""
+    from neural_network_quantum_state_tpu.models import RBMTrSymm
+    from neural_network_quantum_state_tpu.ops.pallas_energy import pallas_offdiag_sum
+
+    machine = RBMTrSymm(n_inputs=n, alpha=m // n, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(7))
+    work = machine.make_work(params)
+    spins = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(8), (k, n)) < 0.5, 1.0, -1.0
+    ).astype(jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sites = jnp.arange(n, dtype=jnp.int32)
+
+    print(f"[energy-kernel unroll A/B N={n} H={m} K={k}]")
+    base = None
+    for u in (1, 2, 4, 8):
+        t, out = _timed(pallas_offdiag_sum, work, cache, lnpsi, sites, unroll=u)
+        d = 0.0 if base is None else float(jnp.max(jnp.abs(out.re - base.re)))
+        base = base or out
+        print(f"  unroll={u}: {t*1e3:7.2f} ms   max|d.re|={d:.2e}")
+
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     bench_exchange()
     bench_ffnn_energy()
+    bench_energy_unroll()
