@@ -55,7 +55,7 @@ OPTIONS = [
     ("nms", "# of sweeps per SR iteration"),
     ("lr", "learning rate (deltaTau)"),
     ("rsd", "RSD convergence cutoff"),
-    ("solver", "cg | auto (cg->minresqlp fallback) | minresqlp | lu | cholesky | svd | sgd"),
+    ("solver", "cg | auto (cg->minresqlp fallback) | minresqlp | lu | cholesky | svd | sgd | minsr (KxK kernel-trick SR)"),
     ("solvedtype", "SR estimator/solve dtype: same | float64 (mixed-precision "
                    "SR: f32 sampling + f64 local energy/O_k/solve - the "
                    "reference's double-precision training accuracy on TPU)"),

@@ -55,7 +55,7 @@ class VMCConfig:
     # iteration (reference "naccumulation", optimizer.hpp:37-57)
     n_accumulations: int = 1
     learning_rate: float = 1e-2  # reference "lr" / deltaTau
-    solver: str = "cg"  # cg | lu | cholesky | svd | sgd
+    solver: str = "cg"  # cg | lu | cholesky | svd | sgd | minsr | auto | minresqlp
     cg_tol: float = 1e-5  # gpu impl_optimizer.cuh:60
     cg_max_iters: int = 1000
     rsd_cutoff: Optional[float] = None  # early stop (gpu optimizer.cuh:160-165)
@@ -395,6 +395,13 @@ class VMC:
 
                 dx, res = sr_minres_solve(o_mat, htilda, lam, tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
                 cg_iters = res.iterations
+            elif cfg.solver == "minsr":
+                # kernel-trick SR: exact KxK walker-space solve (one MXU
+                # GEMM pair + dense solve) - the large-V option where the
+                # VxV dense path is unbuildable and CG is latency-bound
+                from neural_network_quantum_state_tpu.optim.sr import sr_minsr_solve
+
+                dx, _ = sr_minsr_solve(o_mat, htilda, lam)
             elif cfg.solver == "sgd":
                 dx = sgd_diag_solve(o_mat, htilda, lam)
             elif cfg.n_accumulations > 1:
