@@ -14,7 +14,13 @@ sequence of '=== theta=X ===' headers followed by
 is the blocked-jackknife error, estimators.binder_cumulant).
 
 Usage:
-    python examples/binder_crossing.py [LABEL:PATH ...]
+    python examples/binder_crossing.py [--pairs] [LABEL:PATH ...]
+
+With --pairs the inputs are taken two at a time as fixed-ratio (small, big)
+size pairs - e.g. 8:ED 16:ED 12:ED 24:ED 32:VMC 64:VMC - and the crossing
+scan runs per pair instead of per consecutive input, which is the right
+structure for the finite-size-scaling fit (the pair crossing theta_c(N, rN)
+drifts ~ 1/N toward theta_c(inf) at fixed ratio r).
 
 where PATH is either a measure-driver log or an exact-diagonalization
 grid JSON ({"thetas": [...], "U": {"<N>": [...]}}, produced by
@@ -113,12 +119,17 @@ def crossings(thetas, ua, ub, ea, eb):
 
 
 def main():
+    args = sys.argv[1:]
+    pair_mode = "--pairs" in args
+    args = [a for a in args if a != "--pairs"]
     inputs = DEFAULT_INPUTS
-    if len(sys.argv) > 1:
+    if args:
         inputs = []
-        for arg in sys.argv[1:]:
+        for arg in args:
             label, path = arg.split(":", 1)
             inputs.append((label, path))
+    if pair_mode and len(inputs) % 2 != 0:
+        raise SystemExit("--pairs needs an even number of LABEL:PATH inputs")
     data = [(label, parse_input(label, path)) for label, path in inputs]
     for label, d in data:
         if not d:
@@ -138,8 +149,12 @@ def main():
         print(row)
 
     pair_crossings = []  # (N_small, theta_c, err) of significant crossings
-    for i in range(len(data) - 1):
-        (la, da), (lb, db) = data[i], data[i + 1]
+    if pair_mode:
+        pair_indices = [(i, i + 1) for i in range(0, len(data), 2)]
+    else:
+        pair_indices = [(i, i + 1) for i in range(len(data) - 1)]
+    for i, j in pair_indices:
+        (la, da), (lb, db) = data[i], data[j]
         common = sorted(set(da) & set(db))
         if len(common) < 2:
             print(f"# <2 common thetas for the ({la}, {lb}) pair - no crossing scan")
