@@ -10,6 +10,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 echo "#### kernel A/Bs ####"
 timeout 1800 python scripts/bench_kernels_ab.py
 
+echo "#### minSR vs CG at large V (N=128 plain-RBM shapes) ####"
+timeout 1800 python scripts/bench_minsr_ab.py
+
 echo "#### Hubbard L=32 trap: train ####"
 timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
   -model=hubbard -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
