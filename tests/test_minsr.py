@@ -64,6 +64,27 @@ def test_minsr_heavy_regularization_shrinks_step():
     assert float(cplx.norm2(big)) < 1e-3 * float(cplx.norm2(small))
 
 
+def test_minsr_mesh_matches_single_device():
+    """Walker-sharded o_mat/htilda give the same minSR step as replicated
+    inputs: the KxK Gram build gathers the sharded rows (GSPMD) and the
+    dense solve is replicated, so the answer must be bit-comparable."""
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.parallel import mesh as meshlib
+
+    o_mat, htilda = _random_system(jax.random.PRNGKey(2), 64, 24)
+    lam = jnp.asarray(0.05, jnp.float64)
+    dx_single, _ = sr_minsr_solve(o_mat, htilda, lam)
+
+    mesh = nqs.parallel.make_mesh()
+    shard = meshlib.walker_sharding(mesh)
+    o_sh = C(jax.device_put(o_mat.re, shard), jax.device_put(o_mat.im, shard))
+    h_sh = C(jax.device_put(htilda.re, shard), jax.device_put(htilda.im, shard))
+    dx_mesh, _ = jax.jit(lambda o, h: sr_minsr_solve(o, h, lam))(o_sh, h_sh)
+    num = jnp.sqrt(cplx.norm2(dx_mesh - dx_single))
+    den = jnp.sqrt(cplx.norm2(dx_single))
+    assert float(num / den) < 1e-10
+
+
 def test_minsr_vmc_converges_tfi():
     """End-to-end: tiny TFI chain trains to the exact ground state with
     solver='minsr' (same tolerance class as the CG path in test_e2e)."""
