@@ -1,0 +1,163 @@
+"""Final Binder finite-size-scaling analysis: one theta_c with error bars.
+
+Combines
+  (a) the VMC two-sided convergence campaign (scripts/binder_assemble.py
+      over the campaign logs): U(L, theta) = midpoint of the
+      below/above-annealed converged values, error = halfspread
+      (systematic) - for L in {32, 64, 96, 128} where trained;
+  (b) the exact-diagonalization fine grids (logs/binder_exact_fine_*.json)
+      for the fixed-ratio pairs (8,16), (10,20), (12,24);
+computes every fixed-ratio-2 pair crossing with propagated errors
+(examples.binder_crossing.crossings), and fits the 1/N drift
+theta_c(N) = theta_c(inf) + a/N weighted by each crossing's error.
+
+Usage: python scripts/binder_fss_final.py [-json OUT.json]
+(campaign logs are discovered in chronological order; missing inputs are
+skipped with a note, so the script runs on partial campaign state.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from examples.binder_crossing import crossings, parse_exact_json  # noqa: E402
+from scripts.binder_assemble import assemble, parse_logs  # noqa: E402
+
+LOGS = os.path.join(REPO, "logs")
+# chronological (later blocks supersede earlier ones)
+CAMPAIGN_LOGS = [
+    "converge_r3.log",
+    "binder_campaign_r3b.log",
+    "binder_campaign_r3c.log",
+    "binder_campaign_r3e.log",
+    "binder_campaign_r3g.log",
+    "binder_n96_r3h.log",
+    "binder_n128_r3i.log",
+]
+ED_PAIRS = [(8, 16), (10, 20), (12, 24)]
+VMC_PAIRS = [(32, 64), (48, 96), (64, 128)]
+
+
+def vmc_table() -> dict:
+    paths = [os.path.join(LOGS, p) for p in CAMPAIGN_LOGS]
+    found = [p for p in paths if os.path.exists(p)]
+    for p in set(paths) - set(found):
+        print(f"# note: campaign log missing, skipped: {os.path.basename(p)}")
+    return assemble(parse_logs(found))
+
+
+def pair_crossing(thetas, ua, ub, ea, eb):
+    """Significant crossings only; returns (tc, err) or None."""
+    found = [c for c in crossings(thetas, ua, ub, ea, eb) if c[4]]
+    if not found:
+        # fall back to any crossing, flagged by a widened error
+        found = [(t0, t1, tc, max(terr, (t1 - t0) / 2), s) for t0, t1, tc, terr, s in crossings(thetas, ua, ub, ea, eb)]
+    if not found:
+        return None
+    t0, t1, tc, terr, _ = found[0]
+    return tc, terr
+
+
+def main() -> None:
+    json_out = None
+    args = sys.argv[1:]
+    if "-json" in args:
+        json_out = args[args.index("-json") + 1]
+
+    points = []  # (n_small, n_big, tc, err, source)
+
+    for ns, nb in ED_PAIRS:
+        path = os.path.join(LOGS, f"binder_exact_fine_{ns}_{nb}.json")
+        if not os.path.exists(path):
+            print(f"# note: missing {os.path.basename(path)}")
+            continue
+        da = parse_exact_json(path, str(ns))
+        db = parse_exact_json(path, str(nb))
+        common = sorted(t for t in set(da) & set(db) if da[t]["U"] is not None and db[t]["U"] is not None)
+        if len(common) < 2:
+            print(f"# note: ED pair ({ns},{nb}) incomplete ({len(common)} common thetas)")
+            continue
+        c = pair_crossing(
+            common,
+            [da[t]["U"] for t in common],
+            [db[t]["U"] for t in common],
+            [0.0] * len(common),
+            [0.0] * len(common),
+        )
+        if c:
+            points.append((ns, nb, c[0], c[1], "ED"))
+
+    table = vmc_table()
+    sizes = sorted({ell for (ell, _t) in table})
+    print("# VMC two-sided table:")
+    for (ell, theta), e in sorted(table.items()):
+        print(f"#   L={ell} theta={theta}: U={e['u']:.4f} +/- {e['err']:.4f} [{e['status']}]")
+    for ns, nb in VMC_PAIRS:
+        if ns not in sizes or nb not in sizes:
+            continue
+        common = sorted(t for t in {th for (l2, th) in table if l2 == ns} & {th for (l2, th) in table if l2 == nb})
+        if len(common) < 2:
+            print(f"# note: VMC pair ({ns},{nb}): <2 common thetas")
+            continue
+        ea = [table[(ns, t)]["err"] for t in common]
+        eb = [table[(nb, t)]["err"] for t in common]
+        # one-sided points have err=nan; treat as a loose 0.02 systematic
+        ea = [0.02 if e != e else e for e in ea]
+        eb = [0.02 if e != e else e for e in eb]
+        c = pair_crossing(
+            common,
+            [table[(ns, t)]["u"] for t in common],
+            [table[(nb, t)]["u"] for t in common],
+            ea,
+            eb,
+        )
+        if c:
+            points.append((ns, nb, c[0], c[1], "VMC"))
+
+    if not points:
+        raise SystemExit("no pair crossings available yet")
+
+    print(f"\n{'pair':>10} {'theta_c':>9} {'+/-':>8}  source")
+    for ns, nb, tc, terr, src in points:
+        print(f"({ns:3d},{nb:3d}) {tc:9.4f} {terr:8.4f}  {src}")
+
+    # weighted 1/N_small drift fit
+    xs = [1.0 / ns for ns, _, _, _, _ in points]
+    ys = [tc for _, _, tc, _, _ in points]
+    ws = [1.0 / max(e, 1e-4) ** 2 for _, _, _, e, _ in points]
+    sw = sum(ws)
+    mx = sum(w * x for w, x in zip(ws, xs)) / sw
+    my = sum(w * y for w, y in zip(ws, ys)) / sw
+    sxx = sum(w * (x - mx) ** 2 for w, x in zip(ws, xs))
+    a = sum(w * (x - mx) * (y - my) for w, x, y in zip(ws, xs, ys)) / sxx
+    b = my - a * mx
+    berr = (1.0 / sw + mx**2 / sxx) ** 0.5
+    print(
+        f"\n# FSS fit over {len(points)} pair crossings: "
+        f"theta_c(inf) = {b:.4f} +/- {berr:.4f} (drift slope a = {a:.3f})"
+    )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "pair_crossings": [
+                        {"n_small": ns, "n_big": nb, "theta_c": tc, "err": terr, "source": src}
+                        for ns, nb, tc, terr, src in points
+                    ],
+                    "theta_c_inf": b,
+                    "theta_c_inf_err": berr,
+                    "drift_slope": a,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
+
+
+if __name__ == "__main__":
+    main()
