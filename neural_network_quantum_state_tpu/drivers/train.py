@@ -76,6 +76,7 @@ OPTIONS = [
     ("pbc", "periodic boundary (1/0)"),
     ("mloop", "SR iterations per device call (latency amortization)"),
     ("fused", "use the fused Pallas sweep kernel (1/0, f32 RBM family)"),
+    ("blockmoves", "symmetric block-flip proposals per sweep (ergodicity in the ordered phase)"),
 ]
 DEFAULTS = {
     "theta": "0",
@@ -105,6 +106,7 @@ DEFAULTS = {
     "pbc": "1",
     "mloop": "25",
     "fused": "0",
+    "blockmoves": "0",
 }
 
 
@@ -168,6 +170,7 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         n_beta=args.find("nbeta", int),
         steps_per_host_loop=args.find("mloop", int),
         use_fused_sweeps=bool(args.find("fused", int)),
+        block_moves_per_sweep=args.find("blockmoves", int),
         solve_dtype=solve_dtype,
         seed=args.find("seed", int),
     )

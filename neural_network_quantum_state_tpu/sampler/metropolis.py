@@ -186,6 +186,71 @@ def make_fused_sharded_sweeps(mesh, axis_name=None, interpret: bool = False, n_b
     return sweeps_fn
 
 
+def _select_walkers(accept: jnp.ndarray, a, b):
+    """Per-walker select over a (K, ...)-leaved pytree."""
+
+    def sel(x, y):
+        m = accept.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+@partial(jax.jit, static_argnames=("n_moves", "max_block"))
+def block_flip_moves(
+    work: Work,
+    state: MCState,
+    n_moves: int = 1,
+    max_block: int | None = None,
+    beta: jnp.ndarray | None = None,
+) -> MCState:
+    """Symmetric block-flip proposals: per walker, flip a contiguous block
+    of sites [i, i+l) (PBC wrap) with i ~ U[0, N) and l ~ U[1, max_block].
+
+    The proposal is symmetric (re-drawing the same (i, l) reverses it), so
+    Metropolis acceptance min(1, |psi'/psi|^2) preserves |psi|^2 - or the
+    tempered |psi|^{2 beta_k} when a per-walker ``beta`` is given (parallel
+    tempering replicas, sampler.tempering.replica_betas layout).
+
+    This is an ERGODICITY move beyond the reference's single-flip family:
+    in the deep-ordered phase single flips freeze (the N=128 walker
+    collapse, RESULTS.md 5/5b) while a block flip can hop between ordered
+    sectors in one accept. Cost: one full forward (a (K,N)x(N,H) GEMM
+    pair) per move - about one sweep's worth of incremental updates - so
+    it is applied sparingly between sweeps. Block accepts are NOT counted
+    in the single-flip acceptance counters (reference parity for
+    meas_acceptance_ratio).
+    """
+    n = state.cache.spins.shape[1]
+    if max_block is None:
+        max_block = max(n // 2, 1)
+    key, sub = jax.random.split(state.key)
+    k = state.lnpsi.re.shape[0]
+    dt = state.cache.spins.dtype
+
+    def body(carry, move_key):
+        cache, lnpsi0 = carry
+        ki, kl, ku = jax.random.split(move_key, 3)
+        i0 = jax.random.randint(ki, (k,), 0, n)
+        ell = jax.random.randint(kl, (k,), 1, max_block + 1)
+        pos = (jnp.arange(n)[None, :] - i0[:, None]) % n
+        mask = pos < ell[:, None]
+        prop = jnp.where(mask, -cache.spins, cache.spins)
+        cache1, lnpsi1 = engine.full_forward(work, prop)
+        dln = lnpsi1.re - lnpsi0.re
+        if beta is not None:
+            dln = beta.astype(dln.dtype) * dln
+        u = jax.random.uniform(ku, (k,), dt)
+        accept = u < jnp.exp(2.0 * jnp.minimum(dln, 0.0))
+        cache = _select_walkers(accept, cache1, cache)
+        lnpsi0 = cplx.where(accept, lnpsi1, lnpsi0)
+        return (cache, lnpsi0), None
+
+    move_keys = jax.random.split(sub, n_moves)
+    (cache, lnpsi), _ = jax.lax.scan(body, (state.cache, state.lnpsi), move_keys)
+    return state._replace(cache=cache, lnpsi=lnpsi, key=key)
+
+
 def acceptance_ratio(state: MCState) -> tuple[jnp.ndarray, MCState]:
     """Read-and-reset acceptance ratio (impl_mcmc_sampler.hpp:83-90)."""
     ratio = state.n_accepted / jnp.maximum(state.n_proposed, 1.0)

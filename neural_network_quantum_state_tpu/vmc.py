@@ -71,6 +71,13 @@ class VMCConfig:
     steps_per_host_loop: int = 1
     # Pallas fused-sweep sampling (f32 machines on TPU; RBM and FFNN families)
     use_fused_sweeps: bool = False
+    # >0: append this many symmetric block-flip proposals per sweep after
+    # the single-flip pass (metropolis.block_flip_moves) - an ergodicity
+    # move that can hop between ordered sectors where single flips freeze
+    # (the N=128 deep-ordered collapse). Tempered chains accept with their
+    # replica beta; incompatible with the exchange sampler (blocks break
+    # particle conservation).
+    block_moves_per_sweep: int = 0
     # Mixed-precision SR (the reference trains in double end-to-end - all
     # drivers instantiate <double>, gpu/src/LICH-train_rbmtrsymm.cu:91; on
     # TPU these recover that accuracy while keeping the f32 sweep hot path):
@@ -247,6 +254,25 @@ class VMC:
 
             def sweep(work, state, n):
                 return metropolis.sweeps(work, state, self.schedule, n)
+
+        if config.block_moves_per_sweep > 0:
+            if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
+                raise ValueError(
+                    "block_moves_per_sweep breaks particle conservation - "
+                    "not available with the Kawasaki exchange sampler"
+                )
+            base_sweep = sweep
+            bmps, nb = config.block_moves_per_sweep, config.n_beta
+
+            def sweep(work, state, n):
+                state = base_sweep(work, state, n)
+                beta = None
+                if nb > 1:
+                    from neural_network_quantum_state_tpu.sampler import tempering
+
+                    k_tot = state.lnpsi.re.shape[0]
+                    beta = tempering.replica_betas(nb, k_tot // nb, state.cache.spins.dtype)
+                return metropolis.block_flip_moves(work, state, n_moves=n * bmps, beta=beta)
 
         self._sweep = sweep
         self._step_fn = self._build_step()
