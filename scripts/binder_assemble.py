@@ -38,6 +38,7 @@ SIDE = {
     13: "below",
     14: "below",
     15: "above",
+    16: "below",  # block-move redo of trapped from-below points (r3h A0)
     # N=96 ladders
     1: "below",
     2: "above",

@@ -7,14 +7,14 @@
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
-CONV=scripts/binder_converge_retry.sh
+CONV=scripts/binder_converge_bm.sh
 
 train_cold() { # THETA VER SEED
   local T=$1 VER=$2 SEED=$3
   for attempt in 1 2 3; do
     timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=128 -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
-      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 \
+      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
       -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
     echo "train_cold attempt $attempt failed; sleeping 120s" >&2
     sleep 120
@@ -26,7 +26,7 @@ train_warm() { # THETA VER FROMPREFIX SEED
   for attempt in 1 2 3; do
     timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=128 -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
-      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 \
+      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
       -ifprefix=$FROM -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
     echo "train_warm attempt $attempt failed; sleeping 120s" >&2
     sleep 120

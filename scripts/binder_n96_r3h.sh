@@ -12,14 +12,14 @@
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
-CONV=scripts/binder_converge_retry.sh
+CONV=scripts/binder_converge_bm.sh
 
 train_warm() { # L THETA VER FROMPREFIX SEED
   local L=$1 T=$2 VER=$3 FROM=$4 SEED=$5
   for attempt in 1 2 3; do
     timeout 4500 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=$L -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
-      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 \
+      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
       -ifprefix=$FROM -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
     echo "train_warm attempt $attempt failed; sleeping 120s" >&2
     sleep 120
@@ -31,12 +31,18 @@ train_cold() { # L THETA VER SEED
   for attempt in 1 2 3; do
     timeout 4500 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=$L -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
-      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 \
+      -ns=8192 -niter=8000 -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
       -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
     echo "train_cold attempt $attempt failed; sleeping 120s" >&2
     sleep 120
   done
 }
+
+echo "#### STAGE A0: redo theta=0.9 from-below with block moves (V16) ####"
+train_warm 32 0.9 16 RBMTrSymmLICH-L32NF4A2.5T0.7V10 85
+bash $CONV 32 0.9 16 6 0.005
+train_warm 64 0.9 16 RBMTrSymmLICH-L64NF4A2.5T0.7V9 85
+bash $CONV 64 0.9 16 6 0.005
 
 echo "#### STAGE A: 32/64 two-sided at theta = 0.85, 0.875 ####"
 for L in 32 64; do
