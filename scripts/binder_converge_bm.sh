@@ -6,7 +6,7 @@
 # above (campaign r3g), a sampling trap, not an equilibrium. The tempered
 # MEASUREMENT protocol is unchanged, so U values stay comparable. Usage:
 #   binder_converge_bm.sh L THETA VER [MAXEXT] [TOL]
-set -u
+set -u -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=$1; T=$2; VER=$3; MAXEXT=${4:-3}; TOL=${5:-0.005}

@@ -8,7 +8,7 @@
 # walkers continue) until the tempered-estimator U moves < TOL between
 # blocks, or MAXEXT extensions. Usage:
 #   binder_converge_retry.sh L THETA VER [MAXEXT] [TOL]
-set -u
+set -u -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=$1; T=$2; VER=$3; MAXEXT=${4:-3}; TOL=${5:-0.005}
