@@ -188,8 +188,26 @@ def pallas_offdiag_sum(
         )
 
 
+def _auto_block_k(block_k: int, k: int, h: int, has_c: bool, unroll: int) -> int:
+    """Scoped-VMEM guard on the walker block size.
+
+    The kernel's per-iteration temporaries are ~(block_k, h) f32 arrays;
+    complex output weights (has_c: the FFNN family's extra product/atan2
+    planes) and ``unroll`` (independent site flips pipelined per iteration)
+    multiply how many coexist. Measured on v5e: block 1024 x h=256 fits the
+    16 MB scoped-VMEM limit for the RBM case but OOMs with has_c (17.25 MB
+    requested). Budget halves per doubling factor; block_k halving keeps
+    k % block_k == 0 for power-of-two divisors.
+    """
+    budget = 1024 * 256  # block_k*h elements that fit with unroll=1, no c
+    budget //= (2 if has_c else 1) * max(1, unroll)
+    while block_k > 128 and block_k * h > budget and k % (block_k // 2) == 0:
+        block_k //= 2
+    return block_k
+
+
 def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False, unroll=1):
-    block_k = min(block_k, k)
+    block_k = _auto_block_k(min(block_k, k), k, h, has_c, unroll)
     assert k % block_k == 0
     n_blocks = k // block_k
 

@@ -94,3 +94,17 @@ def test_offdiag_kernel_unroll_matches_unroll1(unroll):
     )
     np.testing.assert_allclose(np.asarray(got.re), np.asarray(base.re), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(base.im), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_block_k_vmem_guard():
+    """The failing production shape (K=8192, H=256, FFNN c-weights) must be
+    scaled down below the measured 16MB scoped-VMEM cliff; the RBM shape
+    that measured fine keeps its full block."""
+    from neural_network_quantum_state_tpu.ops.pallas_energy import _auto_block_k
+
+    assert _auto_block_k(1024, 8192, 256, has_c=False, unroll=1) == 1024
+    assert _auto_block_k(1024, 8192, 256, has_c=True, unroll=1) == 512
+    assert _auto_block_k(1024, 8192, 256, has_c=True, unroll=2) == 256
+    assert _auto_block_k(1024, 8192, 512, has_c=False, unroll=1) == 512
+    # never below 128, and divisibility is preserved
+    assert _auto_block_k(128, 8192, 4096, has_c=True, unroll=4) == 128
