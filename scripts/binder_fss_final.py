@@ -36,11 +36,17 @@ CAMPAIGN_LOGS = [
     "binder_campaign_r3c.log",
     "binder_campaign_r3e.log",
     "binder_campaign_r3g.log",
+    "binder_campaign_r3j.log",
     "binder_n96_r3h.log",
     "binder_n128_r3i.log",
 ]
 ED_PAIRS = [(8, 16), (10, 20), (12, 24)]
-VMC_PAIRS = [(32, 64), (48, 96), (64, 128)]
+# realizable pairs over the trained sizes {32, 64, 96, 128}; (64, 96) and
+# (96, 128) are not fixed-ratio-2 like the ED pairs, but every pair
+# crossing is still a consistent finite-size theta_c estimate and the
+# drift fit is error-weighted (the near-exact ED crossings pin the
+# intercept; the VMC crossings are the NQS-machinery demonstration)
+VMC_PAIRS = [(32, 64), (64, 96), (64, 128), (96, 128)]
 
 
 def vmc_table() -> dict:
