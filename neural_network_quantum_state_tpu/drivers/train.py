@@ -62,7 +62,9 @@ OPTIONS = [
     ("mesh", "# of devices for walker-sharded training (0 = single device)"),
     ("gridmesh", "devices per grid point: comma-list grid points run "
                  "CONCURRENTLY on disjoint submeshes (0 = serial grid)"),
-    ("nbeta", "parallel-tempering replicas (1 = off)"),
+    ("nbeta", "parallel-tempering replicas (1 = off; 'auto' = pick the "
+              "smallest ladder whose measured replica-exchange acceptance "
+              "clears 20% per adjacent pair, probed after warm-up)"),
     ("path", "directory for checkpoints/metrics"),
     ("seed", "RNG seed"),
     ("ifprefix", "warm-start checkpoint prefix ('None' = cold; params only)"),
@@ -161,13 +163,17 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
             f"# V={machine.n_vars} >= 500: auto-enabling mixed-precision SR "
             "(-solvedtype=float32 to opt out)"
         )
+    nbeta_raw = args.find("nbeta").lower()
+    auto_nbeta = nbeta_raw == "auto"
+    if auto_nbeta and getattr(ham, "sampler_kind", "flip") == "exchange":
+        raise ValueError("-nbeta=auto: parallel tempering is not wired for the exchange sampler")
     cfg = nqs.VMCConfig(
         n_walkers=args.find("ns", int),
         n_sweeps_per_step=args.find("nms", int),
         learning_rate=args.find("lr", float),
         solver=args.find("solver"),
         rsd_cutoff=args.find("rsd", float),
-        n_beta=args.find("nbeta", int),
+        n_beta=1 if auto_nbeta else int(nbeta_raw),
         steps_per_host_loop=args.find("mloop", int),
         use_fused_sweeps=bool(args.find("fused", int)),
         block_moves_per_sweep=args.find("blockmoves", int),
@@ -207,6 +213,26 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
             params = load_reference_text(machine, args.find("path") + "/" + ifprefix)
             print(f"# warm start from {ifprefix}")
         state = vmc.warm_up(params, state, args.find("nwarm", int))
+
+    if auto_nbeta:
+        # measured-acceptance replica-count choice on the warmed ensemble
+        # (tempering.tune_n_beta); the walkers then reinterpret as
+        # replica-minor groups and the tempered sweep takes over
+        import dataclasses
+
+        from neural_network_quantum_state_tpu.sampler import tempering
+
+        n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        nb, diags = tempering.tune_n_beta(
+            machine.make_work(params), state, vmc.schedule, n_devices=n_dev
+        )
+        for cand, d in sorted(diags.items()):
+            print(f"# nbeta=auto probe n_beta={cand}: swap/pair "
+                  + "/".join(f"{a:.2f}" for a in d["swap"])
+                  + "  flip/replica " + "/".join(f"{a:.2f}" for a in d["flip"]))
+        print(f"# nbeta=auto -> n_beta={nb}")
+        cfg = dataclasses.replace(cfg, n_beta=nb)
+        vmc = nqs.VMC(machine, ham, cfg, mesh=mesh)
 
     log = MetricsLogger(prefix + ".metrics.jsonl", echo=True)
 

@@ -106,6 +106,10 @@ class VMCConfig:
     # count, already tempered) reseed collapse_reseed_frac of the walkers
     # from the Hamiltonian's reseed distribution and re-equilibrate for
     # collapse_requil_sweeps.
+    # collapse_escalate_nbeta = 0 selects the replica count automatically
+    # at escalation time from the measured replica-exchange acceptance
+    # (tempering.tune_n_beta: smallest ladder whose worst adjacent-pair
+    # swap acceptance clears 20%).
     auto_remediate: bool = True
     collapse_patience: int = 3
     collapse_escalate_nbeta: int = 4
@@ -528,16 +532,46 @@ class VMC:
             self._reseed_fn = reseed
         return self._reseed_fn(params, state)
 
+    # auto-tuner ladder tried when collapse_escalate_nbeta == 0
+    _NBETA_CANDIDATES = (2, 4, 6, 8, 12, 16)
+
+    def _n_devices(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod(list(self.mesh.shape.values()))) if hasattr(self.mesh, "shape") else self.mesh.devices.size
+
     def _can_escalate(self) -> bool:
         cfg = self.config
-        if cfg.n_beta > 1 or cfg.collapse_escalate_nbeta <= 1:
+        if cfg.n_beta > 1 or cfg.collapse_escalate_nbeta < 0:
             return False  # already tempered / escalation disabled
         if getattr(self.hamiltonian, "sampler_kind", "flip") == "exchange":
             return False  # PT + exchange sampler not wired
-        n_dev = 1
-        if self.mesh is not None:
-            n_dev = int(np.prod(list(self.mesh.shape.values()))) if hasattr(self.mesh, "shape") else self.mesh.devices.size
+        n_dev = self._n_devices()
+        if cfg.collapse_escalate_nbeta == 0:  # auto: any valid ladder size
+            return any(cfg.n_walkers % (n_dev * nb) == 0 for nb in self._NBETA_CANDIDATES)
+        if cfg.collapse_escalate_nbeta == 1:
+            return False
         return cfg.n_walkers % (n_dev * cfg.collapse_escalate_nbeta) == 0
+
+    def _resolve_escalation_nbeta(self, params, state) -> int:
+        """Fixed collapse_escalate_nbeta, or - when 0 - the measured-
+        acceptance auto choice (tempering.tune_n_beta on the live, collapsed
+        ensemble; the tuner's warm sweeps decorrelate the replicas first)."""
+        cfg = self.config
+        if cfg.collapse_escalate_nbeta > 1:
+            return cfg.collapse_escalate_nbeta
+        from neural_network_quantum_state_tpu.sampler import tempering
+
+        work = self.machine.make_work(params)
+        nb, diags = tempering.tune_n_beta(
+            work, state, self.schedule,
+            candidates=self._NBETA_CANDIDATES, n_devices=self._n_devices(),
+        )
+        for cand, d in diags.items():
+            print(f"#   n_beta={cand}: swap/pair = "
+                  + "/".join(f"{a:.2f}" for a in d["swap"])
+                  + "  flip/replica = " + "/".join(f"{a:.2f}" for a in d["flip"]))
+        return nb
 
     def run(
         self,
@@ -632,14 +666,16 @@ class VMC:
                 collapse_run = 0
                 self.n_remediations += 1
                 if self._can_escalate():
+                    esc_nbeta = self._resolve_escalation_nbeta(params, state)
                     print(
                         f"# walker collapse at step {start_step + n}: escalating to "
-                        f"parallel tempering (n_beta={cfg.collapse_escalate_nbeta})"
+                        f"parallel tempering (n_beta={esc_nbeta}"
+                        + (", auto-tuned from swap acceptance)" if cfg.collapse_escalate_nbeta == 0 else ")")
                     )
                     esc = VMC(
                         self.machine,
                         self.hamiltonian,
-                        dataclasses.replace(cfg, n_beta=cfg.collapse_escalate_nbeta),
+                        dataclasses.replace(cfg, n_beta=esc_nbeta),
                         mesh=self.mesh,
                     )
                     esc.n_remediations = self.n_remediations
