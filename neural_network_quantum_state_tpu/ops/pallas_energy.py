@@ -36,6 +36,28 @@ from neural_network_quantum_state_tpu.ops.fastmath import fast_cos, fast_sin
 _LN2 = 0.6931471805599453
 
 
+def _unit_phase_prod(zre, zim):
+    """exp(i * sum_h arg(z_h)) as the product of the normalized z's.
+
+    (BK, H) -> ((BK, 1), (BK, 1)) unit complex, H a power of two. The
+    angles themselves are never computed: exp(i*sum arg z) = prod z/|z|
+    EXACTLY (the mod-2pi ambiguity of the angle sum is irrelevant because
+    the phase only ever enters the local energy through exp(i*...)).
+    One native rsqrt per element + a log2(H)-level pairwise complex
+    product tree replaces one polynomial atan2 per element.
+    """
+    inv = jax.lax.rsqrt(zre * zre + zim * zim)
+    pre, pim = zre * inv, zim * inv
+    h = pre.shape[1]
+    while h > 1:
+        h //= 2
+        ar, ai = pre[:, :h], pim[:, :h]
+        br, bi = pre[:, h:], pim[:, h:]
+        pre = ar * br - ai * bi
+        pim = ar * bi + ai * br
+    return pre, pim
+
+
 def _energy_kernel(
     sched_ref,  # (n_sites,) int32 scalar-prefetch (site list)
     wre_ref,
@@ -44,6 +66,8 @@ def _energy_kernel(
     s2w_ref,  # (N, H): cos(2*w_im), sin(2*w_im) precomputed by XLA
     are_ref,
     aim_ref,  # (N, 1)
+    c2a_ref,
+    s2a_ref,  # (N, 1): cos(2*a_im), sin(2*a_im) precomputed (phase_product)
     cre_ref,
     cim_ref,  # (1, H): output weights (ones/zeros when c is None)
     spins_ref,  # (N, BK) transposed
@@ -56,6 +80,7 @@ def _energy_kernel(
     *,
     has_c: bool = False,
     unroll: int = 1,
+    phase_product: bool = False,
 ):
     n_sites = sched_ref.shape[0]
     ore_ref[:] = jnp.zeros_like(ore_ref)
@@ -103,10 +128,18 @@ def _energy_kernel(
     wre0 = (1.0 + e0) * cy
     wim0 = (1.0 - e0) * sy * sgn0
     l0re = 0.5 * jnp.log(wre0 * wre0 + wim0 * wim0) + (absx0 - _LN2)
-    l0im = _atan2(wim0, wre0)
-    ln0re, ln0im = _csum(l0re, l0im)
-    ln0re = ln0re + sare_ref[:]
-    ln0im = ln0im + saim_ref[:]
+    if phase_product:
+        # phase-accumulator mode (RBM family only): the sa_im / angle sums
+        # never materialize - exp(i*dim) is assembled from unit-complex
+        # products, so the per-hidden atan2 AND the per-site final cos/sin
+        # both disappear. sa terms cancel exactly between ln1 and ln0.
+        ln0re = jnp.sum(l0re, axis=1, keepdims=True)
+        p0re, p0im = _unit_phase_prod(wre0, wim0)
+    else:
+        l0im = _atan2(wim0, wre0)
+        ln0re, ln0im = _csum(l0re, l0im)
+        ln0re = ln0re + sare_ref[:]
+        ln0im = ln0im + saim_ref[:]
 
     def _site_terms(site):
         """(Re, Im) contribution exp(ln1 - ln0) of flipping `site`."""
@@ -127,9 +160,22 @@ def _energy_kernel(
         wre1 = (1.0 + e1) * c1
         wim1 = (1.0 - e1) * s1 * sgn1
         lyre = 0.5 * jnp.log(wre1 * wre1 + wim1 * wim1) + (absx1 - _LN2)
+        ar = are_ref[pl.ds(site, 1), :]
+        if phase_product:
+            dre = jnp.sum(lyre, axis=1, keepdims=True) - two_s * ar - ln0re
+            mag = jnp.exp(dre)
+            p1re, p1im = _unit_phase_prod(wre1, wim1)
+            # exp(i*dim) = p1 * conj(p0) * exp(-i*2*s*a_im); with s = +-1,
+            # cos(2 s a_im) = cos(2 a_im) and sin(2 s a_im) = s*sin(2 a_im)
+            xre = p1re * p0re + p1im * p0im
+            xim = p1im * p0re - p1re * p0im
+            ca = c2a_ref[pl.ds(site, 1), :]  # (1,1) broadcast
+            sa = s_col * s2a_ref[pl.ds(site, 1), :]  # (BK,1)
+            fre = xre * ca + xim * sa
+            fim = xim * ca - xre * sa
+            return mag * fre, mag * fim
         lyim = _atan2(wim1, wre1)
         ln1re, ln1im = _csum(lyre, lyim)
-        ar = are_ref[pl.ds(site, 1), :]
         ai = aim_ref[pl.ds(site, 1), :]
         dre = ln1re + sare_ref[:] - two_s * ar - ln0re
         dim = ln1im + saim_ref[:] - two_s * ai - ln0im
@@ -154,7 +200,7 @@ def _energy_kernel(
     jax.lax.fori_loop(0, n_sites // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret", "unroll"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret", "unroll", "phase_product"))
 def pallas_offdiag_sum(
     work: Work,
     cache: Cache,
@@ -163,6 +209,7 @@ def pallas_offdiag_sum(
     block_k: int = 1024,
     interpret: bool = False,
     unroll: int = 1,
+    phase_product: bool = False,
 ) -> C:
     """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) over `sites` -> C (K,).
 
@@ -172,7 +219,10 @@ def pallas_offdiag_sum(
     recomputed in-kernel (see _energy_kernel) so both sides of the ratio
     use one logcosh implementation. ``unroll`` > 1 evaluates that many
     independent site flips per loop iteration (ILP); the site count must be
-    divisible by it.
+    divisible by it. ``phase_product`` replaces the per-hidden polynomial
+    atan2 (and the per-site final cos/sin) with a normalized complex
+    product tree (see _unit_phase_prod); RBM family (c is None) with a
+    power-of-two hidden count only - silently falls back otherwise.
     """
     del lnpsi
     k, n = cache.spins.shape
@@ -180,11 +230,15 @@ def pallas_offdiag_sum(
     assert cache.spins.dtype == jnp.float32, "pallas energy kernel is float32-only"
     assert sites.shape[0] % unroll == 0, (sites.shape[0], unroll)
     has_c = work.c is not None
+    if has_c or h & (h - 1) != 0:
+        phase_product = False  # angles needed per hidden unit (c rotates
+        # both lncosh planes) / product tree needs power-of-two H
     # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
     # legalize (see ops.pallas_sweep); all values here are explicit f32/int32
     with jax.enable_x64(False):
         return _pallas_offdiag_body(
-            work, cache, sites, block_k, interpret, k, n, h, has_c, unroll
+            work, cache, sites, block_k, interpret, k, n, h, has_c, unroll,
+            phase_product,
         )
 
 
@@ -206,7 +260,7 @@ def _auto_block_k(block_k: int, k: int, h: int, has_c: bool, unroll: int) -> int
     return block_k
 
 
-def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False, unroll=1):
+def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=False, unroll=1, phase_product=False):
     block_k = _auto_block_k(min(block_k, k), k, h, has_c, unroll)
     assert k % block_k == 0
     n_blocks = k // block_k
@@ -228,6 +282,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
             fixed_spec(n, h),
             fixed_spec(n, 1),
             fixed_spec(n, 1),
+            fixed_spec(n, 1),
+            fixed_spec(n, 1),
             fixed_spec(1, h),
             fixed_spec(1, h),
             spins_spec,
@@ -240,11 +296,15 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
     )
 
     # angle-addition inputs: cos/sin(2 w_im) once per estimate (XLA, native
-    # trig; the identity is exact so no logcosh-implementation mixing)
+    # trig; the identity is exact so no logcosh-implementation mixing);
+    # cos/sin(2 a_im) likewise for the phase-product visible-bias factor
     c2w, s2w = jnp.cos(2.0 * work.w.im), jnp.sin(2.0 * work.w.im)
+    c2a, s2a = jnp.cos(2.0 * a.im), jnp.sin(2.0 * a.im)
 
     ore, oim = pl.pallas_call(
-        functools.partial(_energy_kernel, has_c=has_c, unroll=unroll),
+        functools.partial(
+            _energy_kernel, has_c=has_c, unroll=unroll, phase_product=phase_product
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((k, 1), jnp.float32),
@@ -259,6 +319,8 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
         s2w,
         a.re.reshape(n, 1),
         a.im.reshape(n, 1),
+        c2a.reshape(n, 1),
+        s2a.reshape(n, 1),
         c.re.reshape(1, h),
         c.im.reshape(1, h),
         cache.spins.T,

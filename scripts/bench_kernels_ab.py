@@ -107,13 +107,18 @@ def bench_energy_unroll(n=64, m=256, k=8192):
     cache, lnpsi = engine.full_forward(work, spins)
     sites = jnp.arange(n, dtype=jnp.int32)
 
-    print(f"[energy-kernel unroll A/B N={n} H={m} K={k}]")
+    print(f"[energy-kernel unroll/phase A/B N={n} H={m} K={k}]")
     base = None
     for u in (1, 2, 4, 8):
-        t, out = _timed(pallas_offdiag_sum, work, cache, lnpsi, sites, unroll=u)
-        d = 0.0 if base is None else float(jnp.max(jnp.abs(out.re - base.re)))
-        base = base or out
-        print(f"  unroll={u}: {t*1e3:7.2f} ms   max|d.re|={d:.2e}")
+        for pp in (False, True):
+            t, out = _timed(
+                pallas_offdiag_sum, work, cache, lnpsi, sites, unroll=u,
+                phase_product=pp,
+            )
+            d = 0.0 if base is None else float(jnp.max(jnp.abs(out.re - base.re)))
+            base = base or out
+            tag = "product" if pp else "atan2  "
+            print(f"  unroll={u} phase={tag}: {t*1e3:7.2f} ms   max|d.re|={d:.2e}")
 
 
 if __name__ == "__main__":

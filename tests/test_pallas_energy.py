@@ -108,3 +108,68 @@ def test_auto_block_k_vmem_guard():
     assert _auto_block_k(1024, 8192, 512, has_c=False, unroll=1) == 512
     # never below 128, and divisibility is preserved
     assert _auto_block_k(128, 8192, 4096, has_c=True, unroll=4) == 128
+
+
+def test_unit_phase_prod_equals_angle_sum(rng):
+    """exp(i*sum_h arg z_h) via the normalized product tree - exact up to
+    f32 rounding, no angle ever computed (the mod-2pi ambiguity of the
+    angle sum is irrelevant inside exp)."""
+    from neural_network_quantum_state_tpu.ops.pallas_energy import _unit_phase_prod
+
+    bk, h = 64, 128
+    zre = rng.normal(size=(bk, h)).astype(np.float32)
+    zim = rng.normal(size=(bk, h)).astype(np.float32)
+    pre, pim = (np.asarray(x) for x in _unit_phase_prod(jnp.asarray(zre), jnp.asarray(zim)))
+    ang = np.sum(np.arctan2(zim.astype(np.float64), zre.astype(np.float64)), axis=1)
+    np.testing.assert_allclose(pre[:, 0], np.cos(ang), atol=5e-5)
+    np.testing.assert_allclose(pim[:, 0], np.sin(ang), atol=5e-5)
+    # unit magnitude preserved through the tree
+    np.testing.assert_allclose(pre[:, 0] ** 2 + pim[:, 0] ** 2, 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "machine",
+    [
+        RBM(n_inputs=16, n_hiddens=16, dtype=jnp.float32),
+        RBMTrSymm(n_inputs=16, alpha=2, dtype=jnp.float32),  # H = 32
+    ],
+    ids=["RBM_H16", "RBMTrSymm_H32"],
+)
+def test_offdiag_kernel_phase_product_matches(machine):
+    """phase_product=True (atan2/cos/sin replaced by the normalized complex
+    product tree) must reproduce both the atan2-kernel and XLA values."""
+    n, k = 16, 128
+    params = machine.init_params(jax.random.PRNGKey(4))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(5), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sites = jnp.arange(n, dtype=jnp.int32)
+    got = pallas_offdiag_sum(
+        work, cache, lnpsi, sites, block_k=64, interpret=True, phase_product=True
+    )
+    for want in (
+        pallas_offdiag_sum(work, cache, lnpsi, sites, block_k=64, interpret=True),
+        _offdiag_sum(work, cache, lnpsi, n),
+    ):
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im), rtol=2e-4, atol=2e-4)
+
+
+def test_offdiag_kernel_phase_product_fallback():
+    """FFNN (complex output weights) and non-power-of-two H silently fall
+    back to the atan2 kernel - identical results, no crash."""
+    for machine in (
+        FFNN(n_inputs=16, n_hiddens=12, dtype=jnp.float32),
+        RBM(n_inputs=16, n_hiddens=12, dtype=jnp.float32),  # H=12 not pow2
+    ):
+        params = machine.init_params(jax.random.PRNGKey(6))
+        work = machine.make_work(params)
+        spins = random_spins(jax.random.PRNGKey(7), 64, 16, jnp.float32)
+        cache, lnpsi = engine.full_forward(work, spins)
+        sites = jnp.arange(16, dtype=jnp.int32)
+        base = pallas_offdiag_sum(work, cache, lnpsi, sites, block_k=64, interpret=True)
+        got = pallas_offdiag_sum(
+            work, cache, lnpsi, sites, block_k=64, interpret=True, phase_product=True
+        )
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(base.re), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(base.im), rtol=1e-6)
