@@ -60,8 +60,9 @@ OPTIONS = [
              "near criticality the two inits bound the estimator from both sectors)"),
     ("npar", "opdm only: n_up,n_down sector of the fermion state"),
     ("site", "opdm only: reference site n (rows OPDM(n, m) for m = 0..L-1-n)"),
-    ("nbeta", "parallel-tempered estimator replicas (1 = off; use for "
-              "metastable ordered/near-critical states - ns/nbeta chains read out)"),
+    ("nbeta", "parallel-tempered estimator replicas (1 = off; 'auto' = pick "
+              "from measured exchange acceptance; use for metastable "
+              "ordered/near-critical states - ns/nbeta chains read out)"),
     ("mesh", "# of devices for walker-sharded estimation (0 = single device)"),
     ("fused", "use the fused Pallas sweep kernel (1/0; f32; with -nbeta the "
               "replica-exchange chain runs in-kernel)"),
@@ -109,7 +110,7 @@ def main(argv=None):
         neel_row = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
         init_spins = jnp.asarray(np.tile(neel_row, (ns, 1)), dtype)
 
-    n_beta = args.find("nbeta", int)
+    nbeta_raw = args.find("nbeta").lower()
     n_mesh = args.find("mesh", int)
     mesh = None
     if n_mesh > 0:
@@ -118,6 +119,24 @@ def main(argv=None):
         mesh = make_mesh(n_mesh)
 
     use_fused = bool(args.find("fused", int))
+
+    if nbeta_raw == "auto":
+        # measured-acceptance ladder choice (tempering.tune_n_beta) on a
+        # warmed single-device probe ensemble of this checkpoint
+        from neural_network_quantum_state_tpu.sampler import tempering
+
+        probe = AmplitudeSampler(machine, params, ns, key=seed + 13, init_spins=init_spins)
+        probe.warm_up(nwarm)
+        n_beta, diags = tempering.tune_n_beta(
+            probe.work, probe.state, probe.schedule, n_devices=max(n_mesh, 1)
+        )
+        for cand, d in sorted(diags.items()):
+            print(f"# nbeta=auto probe n_beta={cand}: swap/pair "
+                  + "/".join(f"{a:.2f}" for a in d["swap"])
+                  + "  flip/replica " + "/".join(f"{a:.2f}" for a in d["flip"]))
+        print(f"# nbeta=auto -> n_beta={n_beta}")
+    else:
+        n_beta = int(nbeta_raw)
 
     def make_sampler(key):
         return AmplitudeSampler(

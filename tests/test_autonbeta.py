@@ -132,3 +132,26 @@ def test_train_driver_nbeta_auto(tmp_path):
     )
     hist = res[0]["history"]
     assert len(hist) == 10 and all(np.isfinite(h["energy"]) for h in hist)
+
+
+def test_measure_driver_nbeta_auto(tmp_path):
+    """-nbeta=auto on the measurement side: probe the trained checkpoint's
+    ladder, then run the tempered estimator with the chosen n_beta."""
+    from neural_network_quantum_state_tpu.drivers import measure, train
+
+    res = train.main(
+        [
+            "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=192",
+            "-niter=60", "-nwarm=50", "-lr=2e-2", "-dtype=float64",
+            f"-path={tmp_path}", "-rsd=1e-12",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    m1, m2, m4 = measure.main(
+        [
+            "-what=stag", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=192",
+            f"-prefix={prefix}", "-niter=10", "-nms=2", "-nwarm=30",
+            "-dtype=float64", "-nbeta=auto",
+        ]
+    )
+    assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0 and 0.0 <= m4 <= 1.0
