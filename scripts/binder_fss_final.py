@@ -69,6 +69,33 @@ def pair_crossing(thetas, ua, ub, ea, eb):
     return tc, terr
 
 
+def drift_fit(points) -> tuple[float, float, float, float, float]:
+    """Error-weighted linear fit theta_c(N) = theta_c(inf) + a/N_small over
+    (n_small, n_big, tc, err, source) crossings.
+
+    Returns (theta_c_inf, err, slope, chi2/dof, err_scale). The leading 1/N
+    drift is a model: the near-exact ED crossings scatter about it by more
+    than their formal (floored-at-1e-4) errors, i.e. higher-order
+    corrections are resolved. The parameter error is therefore inflated by
+    sqrt(chi2/dof) (the standard scale-factor treatment) so the quoted
+    theta_c error covers that systematic, not just the input noise."""
+    xs = [1.0 / ns for ns, _, _, _, _ in points]
+    ys = [tc for _, _, tc, _, _ in points]
+    ws = [1.0 / max(e, 1e-4) ** 2 for _, _, _, e, _ in points]
+    sw = sum(ws)
+    mx = sum(w * x for w, x in zip(ws, xs)) / sw
+    my = sum(w * y for w, y in zip(ws, ys)) / sw
+    sxx = sum(w * (x - mx) ** 2 for w, x in zip(ws, xs))
+    a = sum(w * (x - mx) * (y - my) for w, x, y in zip(ws, xs, ys)) / sxx
+    b = my - a * mx
+    berr = (1.0 / sw + mx**2 / sxx) ** 0.5
+    dof = len(points) - 2
+    chi2 = sum(w * (y - (b + a * x)) ** 2 for w, x, y in zip(ws, xs, ys))
+    chi2_dof = chi2 / dof if dof > 0 else float("nan")
+    scale = max(1.0, chi2_dof**0.5) if dof > 0 else 1.0
+    return b, berr * scale, a, chi2_dof, scale
+
+
 def main() -> None:
     json_out = None
     args = sys.argv[1:]
@@ -132,20 +159,11 @@ def main() -> None:
     for ns, nb, tc, terr, src in points:
         print(f"({ns:3d},{nb:3d}) {tc:9.4f} {terr:8.4f}  {src}")
 
-    # weighted 1/N_small drift fit
-    xs = [1.0 / ns for ns, _, _, _, _ in points]
-    ys = [tc for _, _, tc, _, _ in points]
-    ws = [1.0 / max(e, 1e-4) ** 2 for _, _, _, e, _ in points]
-    sw = sum(ws)
-    mx = sum(w * x for w, x in zip(ws, xs)) / sw
-    my = sum(w * y for w, y in zip(ws, ys)) / sw
-    sxx = sum(w * (x - mx) ** 2 for w, x in zip(ws, xs))
-    a = sum(w * (x - mx) * (y - my) for w, x, y in zip(ws, xs, ys)) / sxx
-    b = my - a * mx
-    berr = (1.0 / sw + mx**2 / sxx) ** 0.5
+    b, berr, a, chi2_dof, scale = drift_fit(points)
     print(
         f"\n# FSS fit over {len(points)} pair crossings: "
-        f"theta_c(inf) = {b:.4f} +/- {berr:.4f} (drift slope a = {a:.3f})"
+        f"theta_c(inf) = {b:.4f} +/- {berr:.4f} (drift slope a = {a:.3f}, "
+        f"chi2/dof = {chi2_dof:.1f}, err scale x{scale:.1f})"
     )
     if json_out:
         with open(json_out, "w") as f:

@@ -124,3 +124,27 @@ def test_fss_extrapolation_recovers_intercept(bc, capsys, tmp_path, monkeypatch)
     m = re.search(r"theta_c\(inf\) ~ ([\d.]+)", out)
     assert m, out
     assert abs(float(m.group(1)) - 0.90) < 1e-3
+
+
+def test_drift_fit_error_inflation():
+    """binder_fss_final.drift_fit: exact-line inputs recover the intercept
+    with no inflation; scattered near-exact points inflate the error by
+    sqrt(chi2/dof) so the quoted theta_c error covers the model systematic."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.binder_fss_final import drift_fit
+
+    # exact 1/N line: tc = 0.9 + 0.3/N, generous errors -> scale 1
+    exact = [(n, 2 * n, 0.9 + 0.3 / n, 0.01, "ED") for n in (8, 10, 12, 32)]
+    b, berr, a, chi2_dof, scale = drift_fit(exact)
+    assert abs(b - 0.9) < 1e-9 and abs(a - 0.3) < 1e-9
+    assert scale == 1.0 and chi2_dof < 1e-6
+
+    # same line + one 0.02-scattered point with a tiny formal error:
+    # chi2/dof >> 1 must inflate the quoted error to cover the residual
+    scattered = list(exact)
+    scattered[1] = (10, 20, 0.9 + 0.3 / 10 + 0.02, 0.0, "ED")
+    b2, berr2, a2, chi2_dof2, scale2 = drift_fit(scattered)
+    assert chi2_dof2 > 2 and scale2 > 1.5
+    assert berr2 > 2 * berr
+    # the inflated error should cover the true intercept
+    assert abs(b2 - 0.9) < 3 * berr2
