@@ -96,24 +96,84 @@ def drift_fit(points) -> tuple[float, float, float, float, float]:
     return b, berr * scale, a, chi2_dof, scale
 
 
-def main() -> None:
-    json_out = None
-    args = sys.argv[1:]
-    if "-json" in args:
-        json_out = args[args.index("-json") + 1]
+def drift_fit_power(points) -> tuple[float, float, float, float, float, float]:
+    """Free-exponent drift fit theta_c(N) = theta_c(inf) + a * N_small^-omega.
 
+    omega is scanned over [0.25, 3.0] (step 0.005); at each omega the
+    problem is the weighted LINEAR fit of drift_fit with x = N^-omega, so
+    the scan picks the global chi2 minimum without a nonlinear solver.
+    Returns (theta_c_inf, err, slope, omega, chi2/dof, err_scale) with the
+    same sqrt(chi2/dof) error inflation as drift_fit; dof = n - 3 because
+    omega is fitted. Falls back to omega = 1 when n < 4 (dof would be < 1).
+    """
+    if len(points) < 4:
+        b, berr, a, chi2_dof, scale = drift_fit(points)
+        return b, berr, a, 1.0, chi2_dof, scale
+
+    ys = [tc for _, _, tc, _, _ in points]
+    ws = [1.0 / max(e, 1e-4) ** 2 for _, _, _, e, _ in points]
+    ns_ = [ns for ns, _, _, _, _ in points]
+    sw = sum(ws)
+
+    def linfit(omega: float):
+        xs = [n ** -omega for n in ns_]
+        mx = sum(w * x for w, x in zip(ws, xs)) / sw
+        my = sum(w * y for w, y in zip(ws, ys)) / sw
+        sxx = sum(w * (x - mx) ** 2 for w, x in zip(ws, xs))
+        a = sum(w * (x - mx) * (y - my) for w, x, y in zip(ws, xs, ys)) / sxx
+        b = my - a * mx
+        chi2 = sum(w * (y - (b + a * x)) ** 2 for w, x, y in zip(ws, xs, ys))
+        berr = (1.0 / sw + mx**2 / sxx) ** 0.5
+        return chi2, b, berr, a
+
+    best = None
+    omega = 0.25
+    while omega <= 3.0 + 1e-12:
+        fit = linfit(omega)
+        if best is None or fit[0] < best[0][0]:
+            best = (fit, omega)
+        omega += 0.005
+    (chi2, b, berr, a), omega = best
+    dof = len(points) - 3
+    chi2_dof = chi2 / dof if dof > 0 else float("nan")
+    scale = max(1.0, chi2_dof**0.5) if dof > 0 else 1.0
+    return b, berr * scale, a, omega, chi2_dof, scale
+
+
+def ed_curves() -> dict:
+    """{N: {theta: U}} from the exact fine-grid JSONs (both pair members)."""
+    out: dict = {}
+    for ns, nb in ED_PAIRS:
+        path = os.path.join(LOGS, f"binder_exact_fine_{ns}_{nb}.json")
+        if not os.path.exists(path):
+            continue
+        for n in (ns, nb):
+            d = parse_exact_json(path, str(n))
+            out[n] = {t: e["U"] for t, e in d.items() if e["U"] is not None}
+    return out
+
+
+def collect_points(verbose: bool = True):
+    """Assemble every fixed-pair crossing from ED fine grids + the VMC
+    two-sided campaign table.
+
+    Returns (points, table) with points = [(n_small, n_big, tc, err,
+    source)] and table = the assembled VMC {(L, theta): {u, err, status}}.
+    """
     points = []  # (n_small, n_big, tc, err, source)
 
     for ns, nb in ED_PAIRS:
         path = os.path.join(LOGS, f"binder_exact_fine_{ns}_{nb}.json")
         if not os.path.exists(path):
-            print(f"# note: missing {os.path.basename(path)}")
+            if verbose:
+                print(f"# note: missing {os.path.basename(path)}")
             continue
         da = parse_exact_json(path, str(ns))
         db = parse_exact_json(path, str(nb))
         common = sorted(t for t in set(da) & set(db) if da[t]["U"] is not None and db[t]["U"] is not None)
         if len(common) < 2:
-            print(f"# note: ED pair ({ns},{nb}) incomplete ({len(common)} common thetas)")
+            if verbose:
+                print(f"# note: ED pair ({ns},{nb}) incomplete ({len(common)} common thetas)")
             continue
         c = pair_crossing(
             common,
@@ -127,15 +187,17 @@ def main() -> None:
 
     table = vmc_table()
     sizes = sorted({ell for (ell, _t) in table})
-    print("# VMC two-sided table:")
-    for (ell, theta), e in sorted(table.items()):
-        print(f"#   L={ell} theta={theta}: U={e['u']:.4f} +/- {e['err']:.4f} [{e['status']}]")
+    if verbose:
+        print("# VMC two-sided table:")
+        for (ell, theta), e in sorted(table.items()):
+            print(f"#   L={ell} theta={theta}: U={e['u']:.4f} +/- {e['err']:.4f} [{e['status']}]")
     for ns, nb in VMC_PAIRS:
         if ns not in sizes or nb not in sizes:
             continue
         common = sorted(t for t in {th for (l2, th) in table if l2 == ns} & {th for (l2, th) in table if l2 == nb})
         if len(common) < 2:
-            print(f"# note: VMC pair ({ns},{nb}): <2 common thetas")
+            if verbose:
+                print(f"# note: VMC pair ({ns},{nb}): <2 common thetas")
             continue
         ea = [table[(ns, t)]["err"] for t in common]
         eb = [table[(nb, t)]["err"] for t in common]
@@ -151,7 +213,16 @@ def main() -> None:
         )
         if c:
             points.append((ns, nb, c[0], c[1], "VMC"))
+    return points, table
 
+
+def main() -> None:
+    json_out = None
+    args = sys.argv[1:]
+    if "-json" in args:
+        json_out = args[args.index("-json") + 1]
+
+    points, _table = collect_points()
     if not points:
         raise SystemExit("no pair crossings available yet")
 
@@ -165,6 +236,12 @@ def main() -> None:
         f"theta_c(inf) = {b:.4f} +/- {berr:.4f} (drift slope a = {a:.3f}, "
         f"chi2/dof = {chi2_dof:.1f}, err scale x{scale:.1f})"
     )
+    bp, bperr, ap, omega, chi2p, scalep = drift_fit_power(points)
+    print(
+        f"# free-exponent fit: theta_c(inf) = {bp:.4f} +/- {bperr:.4f} "
+        f"(a = {ap:.3f}, omega = {omega:.2f}, chi2/dof = {chi2p:.1f}, "
+        f"err scale x{scalep:.1f})"
+    )
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
@@ -176,6 +253,13 @@ def main() -> None:
                     "theta_c_inf": b,
                     "theta_c_inf_err": berr,
                     "drift_slope": a,
+                    "power_fit": {
+                        "theta_c_inf": bp,
+                        "theta_c_inf_err": bperr,
+                        "slope": ap,
+                        "omega": omega,
+                        "chi2_dof": chi2p,
+                    },
                 },
                 f,
                 indent=1,

@@ -148,3 +148,24 @@ def test_drift_fit_error_inflation():
     assert berr2 > 2 * berr
     # the inflated error should cover the true intercept
     assert abs(b2 - 0.9) < 3 * berr2
+
+
+def test_drift_fit_power_recovers_exponent():
+    """binder_fss_final.drift_fit_power: data generated with omega=2 is
+    recovered (intercept + exponent) where the 1/N model is biased; with
+    < 4 points it falls back to the linear model (omega pinned to 1)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.binder_fss_final import drift_fit, drift_fit_power
+
+    pts = [(n, 2 * n, 0.9 + 2.0 / n**2, 0.001, "ED") for n in (8, 10, 12, 32, 64)]
+    b, berr, a, omega, chi2_dof, scale = drift_fit_power(pts)
+    assert abs(omega - 2.0) < 0.01
+    assert abs(b - 0.9) < 1e-4 and abs(a - 2.0) < 0.05
+    assert scale == 1.0  # exact model -> no inflation
+    # the forced-1/N fit on the same data misses the intercept by more
+    b1, berr1, *_ = drift_fit(pts)
+    assert abs(b1 - 0.9) > 5 * abs(b - 0.9)
+
+    # n < 4 -> linear fallback
+    b3, _, _, omega3, _, _ = drift_fit_power(pts[:3])
+    assert omega3 == 1.0
