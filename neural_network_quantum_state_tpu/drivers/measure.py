@@ -5,7 +5,7 @@
         -prefix=./runs/RBMTrSymmLICH-L32NF4A2T2V1 -l=16 -niter=500
 
 what: energy-free estimators over a trained checkpoint -
-  renyi | fidelity | smag | stag | neel | zz | xx | overlap
+  renyi | fidelity | smag | stag | corrratio | neel | zz | xx | overlap
 (fidelity/overlap compare -prefix against -prefix2.)
 """
 
@@ -33,7 +33,7 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "energy | renyi | fidelity | smag | stag | neel | zz | xx | overlap | opdm | density"),
+    ("what", "energy | renyi | fidelity | smag | stag | corrratio | neel | zz | xx | overlap | opdm | density"),
     ("model", "energy only: Hamiltonian to evaluate (CH | LICH | SQ | TRI | CB "
               "| hubbard), with -theta/-alpha (LICH), -h/-J (others), -U/-t (hubbard)"),
     ("theta", "energy+LICH: J=sin(theta), h=-cos(theta)"),
@@ -230,6 +230,18 @@ def main(argv=None):
             f" binder_err={binder_err:.6f}"
         )
         return m1, m2, m4
+    if what == "corrratio":
+        # correlation ratio R_N = S(pi + 2pi/N)/S(pi) - a second crossing
+        # observable for the FSS program, independent of the Binder
+        # cumulant's moment ratios (new capability beyond the reference).
+        from neural_network_quantum_state_tpu.measurements.estimators import correlation_ratio
+
+        r, r_err, s_peak, s_nb = correlation_ratio(make_sampler(seed), niter, nms, nwarm)
+        print(
+            f"# corrratio R={r:.6f} R_err={r_err:.6f} "
+            f"S_peak={s_peak:.6f} S_neighbor={s_nb:.6f}"
+        )
+        return r, r_err
     if what == "neel":
         side = int(round(n**0.5))
         m1, m2, m4 = neel_order(make_sampler(seed), side, niter, nms, nwarm)

@@ -4,6 +4,7 @@ gpu/include/meas.cuh)."""
 from neural_network_quantum_state_tpu.measurements import estimators, fermion
 from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler, opdm_pair
 from neural_network_quantum_state_tpu.measurements.estimators import (
+    correlation_ratio,
     fidelity,
     measure_energy,
     neel_order,
@@ -12,6 +13,7 @@ from neural_network_quantum_state_tpu.measurements.estimators import (
     renyi2_entropy,
     spin_x_correlation,
     spin_z_correlation,
+    structure_factor_trials,
     spontaneous_magnetization,
 )
 from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampler
@@ -21,6 +23,7 @@ __all__ = [
     "FermionAmplitudeSampler",
     "estimators",
     "fermion",
+    "correlation_ratio",
     "fidelity",
     "opdm_pair",
     "measure_energy",
@@ -29,6 +32,7 @@ __all__ = [
     "overlap_integral",
     "renyi2_entropy",
     "spin_x_correlation",
+    "structure_factor_trials",
     "spin_z_correlation",
     "spontaneous_magnetization",
 ]

@@ -132,6 +132,64 @@ def neel_order(sampler: AmplitudeSampler, l: int, n_iterations: int, n_sweeps: i
     return _abs_mag_moments(sampler, coeff, n_iterations, n_sweeps, n_warmup)
 
 
+def structure_factor_trials(sampler: AmplitudeSampler, ks, n_iterations: int,
+                            n_sweeps: int = 1, n_warmup: int = 100) -> np.ndarray:
+    """Per-iteration estimates of the chain structure factor
+    S(k) = N <|m_k|^2>, with m_k = (1/N) sum_j s_j e^{ikj}, for each wave
+    number in ``ks``; returns an (n_iterations, len(ks)) array.
+
+    All wave numbers are accumulated in ONE pass (a single (K, N) x (N, nk)
+    GEMM per iteration, MXU-friendly), diagonal in the sigma_z basis like
+    the magnetization moments. New capability beyond the reference
+    measurement set (cpu measurements.hpp has magnetization moments and
+    two-point sigma-z correlators but no momentum-space observable)."""
+    sampler.warm_up(n_warmup)
+    n = sampler.n_inputs
+    rdt = sampler.machine.real_dtype
+    j = np.arange(n)
+    phases = np.outer(np.asarray(ks, np.float64), j)  # (nk, N)
+    co_re = jnp.asarray(np.cos(phases).T, rdt)  # (N, nk)
+    co_im = jnp.asarray(np.sin(phases).T, rdt)
+
+    def accum(cache, lnpsi):
+        spins = cache.spins  # (K, N)
+        mre = spins @ co_re
+        mim = spins @ co_im
+        # S(k) = N <|m_k|^2> = (1/N) <|sum_j s_j e^{ikj}|^2>
+        return jnp.mean(mre**2 + mim**2, axis=0) / n
+
+    return np.asarray(sampler.run_estimator(accum, n_iterations, n_sweeps))
+
+
+def correlation_ratio(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1,
+                      n_warmup: int = 100, n_blocks: int = 20):
+    """R_N = S(pi + 2pi/N) / S(pi): the correlation-ratio crossing
+    observable for the AFM chain, with a blocked-jackknife error.
+
+    R_N -> 0 in the ordered phase (Bragg peak at the staggered wave
+    vector k = pi dwarfs its neighbor) and -> 1 in the disordered phase
+    (S(k) flat); like the Binder cumulant, R_N(theta) curves for
+    different N cross at theta_c, giving an INDEPENDENT finite-size
+    estimate from the same sampled configurations. Blocked jackknife for
+    the nonlinear ratio mirrors binder_cumulant above.
+
+    Returns (r, r_err, s_peak, s_neighbor)."""
+    n = sampler.n_inputs
+    ks = [np.pi, np.pi + 2.0 * np.pi / n]
+    s_t = structure_factor_trials(sampler, ks, n_iterations, n_sweeps, n_warmup)
+    sp_t, sn_t = np.float64(s_t[:, 0]), np.float64(s_t[:, 1])
+    n_blocks = max(2, min(n_blocks, sp_t.size))
+    usable = (sp_t.size // n_blocks) * n_blocks
+    sp_b = sp_t[:usable].reshape(n_blocks, -1).mean(axis=1)
+    sn_b = sn_t[:usable].reshape(n_blocks, -1).mean(axis=1)
+    r_full = sn_b.mean() / sp_b.mean()
+    sp_j = (sp_b.sum() - sp_b) / (n_blocks - 1)
+    sn_j = (sn_b.sum() - sn_b) / (n_blocks - 1)
+    r_j = sn_j / sp_j
+    r_err = np.sqrt((n_blocks - 1) / n_blocks * ((r_j - r_j.mean()) ** 2).sum())
+    return float(r_full), float(r_err), float(sp_b.mean()), float(sn_b.mean())
+
+
 # ---------------------------------------------------------------------------
 def overlap_integral(
     sampler: AmplitudeSampler,

@@ -243,3 +243,36 @@ def test_binder_pipeline_vs_ed_ground_state():
     want = litfi_binder_exact(n, theta, alpha)
     assert abs(float(np.mean(m1_t)) - want["m1"]) < 0.02
     assert abs(u - want["U"]) < 0.02, (u, want["U"], u_err)
+
+
+def test_correlation_ratio_vs_exact():
+    """structure_factor_trials / correlation_ratio vs exact enumeration:
+    S(k) is diagonal in sigma_z, so the oracle is a |psi|^2-weighted sum of
+    |sum_j s_j e^{ikj}|^2 / N over the full basis."""
+    from neural_network_quantum_state_tpu.measurements import (
+        correlation_ratio,
+        structure_factor_trials,
+    )
+
+    m1, p1 = _machine(7)
+    psi = _psi_vector(m1, p1)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+    s = _all_spins(N)
+    ks = [np.pi, np.pi + 2 * np.pi / N]
+    want = []
+    for k in ks:
+        amp = s @ np.exp(1j * k * np.arange(N))
+        want.append(float((p * np.abs(amp) ** 2).sum()) / N)
+
+    smp = AmplitudeSampler(m1, p1, n_walkers=4096, key=15)
+    trials = structure_factor_trials(smp, ks, n_iterations=30, n_sweeps=2, n_warmup=150)
+    assert trials.shape == (30, 2)
+    got = trials.mean(axis=0)
+    np.testing.assert_allclose(got, want, rtol=0.05)
+
+    smp2 = AmplitudeSampler(m1, p1, n_walkers=4096, key=16)
+    r, r_err, s_peak, s_nb = correlation_ratio(smp2, n_iterations=30, n_sweeps=2, n_warmup=150)
+    want_r = want[1] / want[0]
+    assert abs(r - want_r) < max(5 * r_err, 0.05), (r, want_r, r_err)
+    assert r_err < 0.05
