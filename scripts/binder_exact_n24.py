@@ -61,11 +61,19 @@ def binder_exact_large(n: int, theta: float, alpha: float) -> dict:
     diag = np.empty(dim, np.float64)
     stag_sign = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
     stag = np.empty(dim, np.float64)
+    # neighbor wave number k = pi + 2pi/N for the correlation ratio
+    # R = S(k)/S(pi); both are diagonal in sigma_z so they ride the same
+    # chunk pass (S(pi) = N * stag^2)
+    k_nb = math.pi + 2.0 * math.pi / n
+    nb_cos = np.cos(k_nb * np.arange(n))
+    nb_sin = np.sin(k_nb * np.arange(n))
+    amp_nb2 = np.empty(dim, np.float64)
     for lo in range(0, dim, CHUNK):
         hi = min(lo + CHUNK, dim)
         s = _spins_chunk(lo, hi, n)
         diag[lo:hi] = (0.5 / n) * np.einsum("ki,ki->k", s @ jm, s)
         stag[lo:hi] = (s @ stag_sign) / n
+        amp_nb2[lo:hi] = (s @ nb_cos) ** 2 + (s @ nb_sin) ** 2
 
     # precomputed int32 flip tables: 24 x 67 MB at N=24, vs recomputing the
     # XOR per matvec (the gather dominates; indices fit int32 for N<=31)
@@ -91,12 +99,16 @@ def binder_exact_large(n: int, theta: float, alpha: float) -> dict:
     m2 = float((stag**2) @ p)
     m4 = float((stag**4) @ p)
     u = 1.0 - m4 / (3.0 * m2**2)
+    s_peak = n * m2  # S(pi) = N <m_s^2>
+    s_nb = float(amp_nb2 @ p) / n
+    r = s_nb / s_peak
     print(
         f"N={n} theta={theta}: E0={w[0]:.6f} U={u:.6f} "
-        f"(m1={m1:.4f}) [{time.time() - t0:.0f}s]",
+        f"(m1={m1:.4f}, R={r:.4f}) [{time.time() - t0:.0f}s]",
         flush=True,
     )
-    return {"m1": m1, "m2": m2, "m4": m4, "U": u}
+    return {"m1": m1, "m2": m2, "m4": m4, "U": u,
+            "S_peak": s_peak, "S_nb": s_nb, "R": r}
 
 
 def main():
