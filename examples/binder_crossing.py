@@ -29,8 +29,9 @@ the size key to pull (errors are exact zeros).  Inputs may cover
 different theta grids: the table shows the union, crossings are computed
 per consecutive size pair over that pair's common grid.
 
-Defaults to the committed round-3 logs:
-    32:logs/measure_stag_N32_V10.log  64:logs/measure_stag_N64_V9r3.log
+Defaults to the committed round-3 FINAL measurement passes (latest
+two-sided-converged checkpoint per theta, tempered fused estimator):
+    32:logs/measure_stag_N32_final.log  64:logs/measure_stag_N64_final.log
 
 Prints the combined U_N(theta) table and, for each size pair, every
 sign change of U_big - U_small with a linearly interpolated crossing
@@ -45,8 +46,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_INPUTS = [
-    ("32", os.path.join(REPO, "logs", "measure_stag_N32_V10.log")),
-    ("64", os.path.join(REPO, "logs", "measure_stag_N64_V9r3.log")),
+    ("32", os.path.join(REPO, "logs", "measure_stag_N32_final.log")),
+    ("64", os.path.join(REPO, "logs", "measure_stag_N64_final.log")),
 ]
 
 _HDR = re.compile(r"=== theta=([\d.]+) ===")
@@ -179,7 +180,10 @@ def main():
     # drifts as theta_c(N) = theta_c(inf) + a/N to leading order; with two
     # or more significant pair crossings, fit U-weighted least squares in
     # x = 1/N_small and report the intercept.
-    if len(pair_crossings) >= 2:
+    if len(pair_crossings) >= 2 and len({n for n, _, _ in pair_crossings}) >= 2:
+        # (>= 2 distinct sizes: multiple crossings of ONE pair - e.g.
+        # statistical sign flips where both curves ride the U = 2/3
+        # plateau - share an x and cannot constrain a drift line)
         xs = [1.0 / n for n, _, _ in pair_crossings]
         ys = [tc for _, tc, _ in pair_crossings]
         ws = [1.0 / max(e, 1e-4) ** 2 for _, _, e in pair_crossings]
