@@ -63,19 +63,53 @@ def run_pair(ns: int, nb: int, thetas: list[float]) -> None:
     print(f"pair ({ns},{nb}) complete -> {path}")
 
 
+def analyze(pairs) -> list[tuple[int, int, float, float]]:
+    """Print the R_N(theta) tables and every R crossing per pair; returns
+    [(ns, nb, tc, err)] with err = the interpolation half-step systematic
+    (R is exact; the crossing is linearly interpolated on the grid)."""
+    from examples.binder_crossing import crossings
+
+    out = []
+    for ns, nb in pairs:
+        path = os.path.join(LOGS, f"corrratio_exact_{ns}_{nb}.json")
+        if not os.path.exists(path):
+            print(f"# note: missing {os.path.basename(path)}")
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        da, db = data["points"][str(ns)], data["points"][str(nb)]
+        common = sorted(float(t) for t in set(da) & set(db))
+        print(f"\n# pair ({ns},{nb}):  theta   R({ns})   R({nb})")
+        for t in common:
+            print(f"#   {t:6.4f}  {da[repr(t)]['R']:.4f}  {db[repr(t)]['R']:.4f}")
+        ra = [da[repr(t)]["R"] for t in common]
+        rb = [db[repr(t)]["R"] for t in common]
+        found = crossings(common, ra, rb, [0.0] * len(common), [0.0] * len(common))
+        for t0, t1, tc, terr, _sig in found:
+            err = max(terr, (t1 - t0) / 4)
+            print(f"# R crossing in ({t0}, {t1}): theta_c ~ {tc:.4f} +/- {err:.4f}")
+            out.append((ns, nb, tc, err))
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     pairs = list(DEFAULT_PAIRS)
     grid = "0.85:1.0:0.0125"
+    analyze_only = "-analyze" in args
     for a in args:
         if a.startswith("-pair="):
             pairs = [tuple(int(x) for x in a[6:].split(","))]
         elif a.startswith("-grid="):
             grid = a[6:]
+    if analyze_only:
+        analyze(pairs)
+        return
     thetas = theta_grid(grid)
     print(f"# pairs {pairs}, thetas {thetas}")
     for ns, nb in pairs:
         run_pair(ns, nb, thetas)
+    analyze(pairs)
 
 
 if __name__ == "__main__":
