@@ -107,7 +107,19 @@ def main() -> None:
         xs, ys, es = zip(*pts)
         ax2.errorbar(xs, ys, yerr=es, color=col, marker=mk, ms=5.5, ls="none",
                      mec=SURFACE, mew=0.8, capsize=2.5, elinewidth=1.2,
-                     label=f"{src} pair crossings", zorder=3)
+                     label=f"{src} pair crossings (Binder U)", zorder=3)
+    # correlation-ratio crossings (independent observable, same drift axis)
+    from scripts.corrratio_exact import DEFAULT_PAIRS, analyze as r_analyze
+
+    r_points = r_analyze(DEFAULT_PAIRS + [(12, 24)], verbose=False)
+    if r_points:
+        xs = [1.0 / ns for ns, _nb, _tc, _e in r_points]
+        ys = [tc for _ns, _nb, tc, _e in r_points]
+        es = [e for *_rest, e in r_points]
+        ax2.errorbar(xs, ys, yerr=es, color=BLUE, marker="^", ms=6, ls="none",
+                     mfc=SURFACE, mec=BLUE, mew=1.2, capsize=2.5,
+                     elinewidth=1.0, label="ED crossings (corr. ratio R)",
+                     zorder=3)
     xmax = max(1.0 / ns for ns, *_ in points) * 1.12
     xs_fit = [i * xmax / 200 for i in range(201)]
     ax2.plot(xs_fit, [b + a * x for x in xs_fit], color=INK2, lw=1.6,

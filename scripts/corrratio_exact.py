@@ -63,7 +63,7 @@ def run_pair(ns: int, nb: int, thetas: list[float]) -> None:
     print(f"pair ({ns},{nb}) complete -> {path}")
 
 
-def analyze(pairs) -> list[tuple[int, int, float, float]]:
+def analyze(pairs, verbose: bool = True) -> list[tuple[int, int, float, float]]:
     """Print the R_N(theta) tables and every R crossing per pair; returns
     [(ns, nb, tc, err)] with err = the interpolation half-step systematic
     (R is exact; the crossing is linearly interpolated on the grid)."""
@@ -73,21 +73,24 @@ def analyze(pairs) -> list[tuple[int, int, float, float]]:
     for ns, nb in pairs:
         path = os.path.join(LOGS, f"corrratio_exact_{ns}_{nb}.json")
         if not os.path.exists(path):
-            print(f"# note: missing {os.path.basename(path)}")
+            if verbose:
+                print(f"# note: missing {os.path.basename(path)}")
             continue
         with open(path) as f:
             data = json.load(f)
         da, db = data["points"][str(ns)], data["points"][str(nb)]
         common = sorted(float(t) for t in set(da) & set(db))
-        print(f"\n# pair ({ns},{nb}):  theta   R({ns})   R({nb})")
-        for t in common:
-            print(f"#   {t:6.4f}  {da[repr(t)]['R']:.4f}  {db[repr(t)]['R']:.4f}")
+        if verbose:
+            print(f"\n# pair ({ns},{nb}):  theta   R({ns})   R({nb})")
+            for t in common:
+                print(f"#   {t:6.4f}  {da[repr(t)]['R']:.4f}  {db[repr(t)]['R']:.4f}")
         ra = [da[repr(t)]["R"] for t in common]
         rb = [db[repr(t)]["R"] for t in common]
         found = crossings(common, ra, rb, [0.0] * len(common), [0.0] * len(common))
         for t0, t1, tc, terr, _sig in found:
             err = max(terr, (t1 - t0) / 4)
-            print(f"# R crossing in ({t0}, {t1}): theta_c ~ {tc:.4f} +/- {err:.4f}")
+            if verbose:
+                print(f"# R crossing in ({t0}, {t1}): theta_c ~ {tc:.4f} +/- {err:.4f}")
             out.append((ns, nb, tc, err))
     return out
 
