@@ -11,15 +11,21 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 CONV=scripts/binder_converge_bm.sh
-CUTOFF=${R3I_CUTOFF_EPOCH:-$(date -u -d '2026-08-18 14:15' +%s)}
+# Cutoff is re-read from /tmp/r3i_cutoff (epoch seconds) at every gate so a
+# live session can extend or shrink the window; default 14:15 UTC.
+cutoff_epoch() {
+  if [ -r /tmp/r3i_cutoff ]; then cat /tmp/r3i_cutoff; else
+    echo "${R3I_CUTOFF_EPOCH:-$(date -u -d '2026-08-18 14:15' +%s)}"
+  fi
+}
 
 echo "#### [r3i-0] post-campaign chip queue (r3k) first ####"
 bash scripts/post_campaign_r3k.sh > logs/post_campaign_r3k.log 2>&1 \
   && echo "r3k OK" || echo "r3k FAILED (see logs/post_campaign_r3k.log)"
 touch /tmp/r3k_done
 
-time_left() { # true while before the cutoff
-  [ "$(date -u +%s)" -lt "$CUTOFF" ]
+time_left() { # true while before the (live-updatable) cutoff
+  [ "$(date -u +%s)" -lt "$(cutoff_epoch)" ]
 }
 
 train_cold() { # THETA VER SEED
