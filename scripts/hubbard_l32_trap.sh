@@ -8,10 +8,15 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 echo "#### Hubbard L=32 trap: train ####"
-timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
-  -model=hubbard -ansatz=rbm -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
-  -ns=4096 -niter=4000 -nwarm=500 -lr=1e-2 -fused=1 \
-  -path=runs -nrec=1000 -seed=11 | tail -2
+# retry: the first r3j attempt died on a transient TPU worker crash at iter 50
+for attempt in 1 2 3; do
+  timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
+    -model=hubbard -ansatz=rbm -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
+    -ns=4096 -niter=4000 -nwarm=500 -lr=1e-2 -fused=1 \
+    -path=runs -nrec=1000 -seed=11 | tail -2 && break
+  echo "train attempt $attempt failed; sleeping 120s" >&2
+  sleep 120
+done
 
 PREFIX=runs/RBMHB-L32U4V1
 if [ ! -f "${PREFIX}Dw.dat" ] && [ ! -f "${PREFIX}.state.npz" ]; then
@@ -20,10 +25,14 @@ fi
 echo "trained checkpoint: $PREFIX"
 
 echo "#### Hubbard L=32 trap: extend 4k ####"
-timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
-  -model=hubbard -ansatz=rbm -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
-  -ns=4096 -niter=4000 -nwarm=0 -lr=1e-2 -fused=1 \
-  -resume=$(basename $PREFIX) -path=runs -nrec=1000 -seed=12 | tail -2
+for attempt in 1 2 3; do
+  timeout 5400 python -m neural_network_quantum_state_tpu.drivers.train \
+    -model=hubbard -ansatz=rbm -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
+    -ns=4096 -niter=4000 -nwarm=0 -lr=1e-2 -fused=1 \
+    -resume=$(basename $PREFIX) -path=runs -nrec=1000 -seed=12 | tail -2 && break
+  echo "extend attempt $attempt failed; sleeping 120s" >&2
+  sleep 120
+done
 
 echo "#### Hubbard L=32 trap: measure energy / density / opdm ####"
 timeout 1800 python -m neural_network_quantum_state_tpu.drivers.measure \
