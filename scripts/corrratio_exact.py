@@ -32,7 +32,7 @@ from scripts.binder_exact_n24 import binder_exact_large  # noqa: E402
 
 LOGS = os.path.join(REPO, "logs")
 ALPHA = 2.5
-DEFAULT_PAIRS = [(8, 16), (10, 20)]
+DEFAULT_PAIRS = [(8, 16), (10, 20), (12, 24)]
 
 
 def theta_grid(spec: str) -> list[float]:
