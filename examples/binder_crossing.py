@@ -48,6 +48,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_INPUTS = [
     ("32", os.path.join(REPO, "logs", "measure_stag_N32_final.log")),
     ("64", os.path.join(REPO, "logs", "measure_stag_N64_final.log")),
+] + [
+    # larger FSS sizes join the default table as their campaign
+    # measurement passes land (stage B / r3i write these logs)
+    (label, path)
+    for label, path in (
+        ("96", os.path.join(REPO, "logs", "measure_stag_N96_final.log")),
+        ("128", os.path.join(REPO, "logs", "measure_stag_N128_final.log")),
+    )
+    if os.path.exists(path)
 ]
 
 _HDR = re.compile(r"=== theta=([\d.]+) ===")
