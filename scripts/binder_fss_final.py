@@ -242,6 +242,30 @@ def main() -> None:
         f"(a = {ap:.3f}, omega = {omega:.2f}, chi2/dof = {chi2p:.1f}, "
         f"err scale x{scalep:.1f})"
     )
+
+    # Independent observable: exact correlation-ratio crossings R_N(theta)
+    # (scripts/corrratio_exact.py grids). Same drift model, separate fit -
+    # agreement between theta_c^U and theta_c^R is the consistency check.
+    from scripts.corrratio_exact import DEFAULT_PAIRS as R_PAIRS
+    from scripts.corrratio_exact import analyze as r_analyze
+
+    r_points = [(ns, nb, tc, err, "ED-R") for ns, nb, tc, err in r_analyze(R_PAIRS, verbose=False)]
+    r_fit = None
+    if r_points:
+        print(f"\n{'pair':>10} {'theta_c':>9} {'+/-':>8}  source")
+        for ns, nb, tc, terr, src in r_points:
+            print(f"({ns:3d},{nb:3d}) {tc:9.4f} {terr:8.4f}  {src}")
+        if len(r_points) >= 3:
+            rb, rberr, ra, rchi2, rscale = drift_fit(r_points)
+            r_fit = {"theta_c_inf": rb, "theta_c_inf_err": rberr, "slope": ra, "chi2_dof": rchi2}
+            print(
+                f"# corr-ratio FSS fit over {len(r_points)} crossings: "
+                f"theta_c(inf) = {rb:.4f} +/- {rberr:.4f} (a = {ra:.3f}, "
+                f"chi2/dof = {rchi2:.1f}, err scale x{rscale:.1f})"
+            )
+        else:
+            print("# corr-ratio: <3 crossings, drift fit skipped (crossing values above)")
+
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
@@ -260,6 +284,11 @@ def main() -> None:
                         "omega": omega,
                         "chi2_dof": chi2p,
                     },
+                    "corrratio_crossings": [
+                        {"n_small": ns, "n_big": nb, "theta_c": tc, "err": terr}
+                        for ns, nb, tc, terr, _src in r_points
+                    ],
+                    "corrratio_fit": r_fit,
                 },
                 f,
                 indent=1,
