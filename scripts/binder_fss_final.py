@@ -216,6 +216,61 @@ def collect_points(verbose: bool = True):
     return points, table
 
 
+R_LOG_SIZES = [32, 64, 96, 128]
+
+
+def parse_corrratio_log(path: str) -> dict[float, tuple[float, float]]:
+    """logs/corrratio_N{L}.log (scripts/corrratio_measure.sh output) ->
+    {theta: (R, R_err)}, keeping the last reading per theta block."""
+    out: dict[float, tuple[float, float]] = {}
+    theta = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("=== theta="):
+                theta = float(line.split("theta=")[1].split()[0])
+            elif line.startswith("# corrratio R=") and theta is not None:
+                toks = dict(tok.split("=", 1) for tok in line[2:].split() if "=" in tok)
+                out[theta] = (float(toks["R"]), float(toks["R_err"]))
+    return out
+
+
+def vmc_corrratio_points(verbose: bool = True) -> list[tuple[int, int, float, float, str]]:
+    """Correlation-ratio pair crossings from the VMC measurement passes.
+
+    R_N(theta) = S(pi + 2pi/N)/S(pi) crosses at theta_c exactly like the
+    Binder cumulant (it is the other standard dimensionless FSS
+    observable), so the same interpolated sign-change scan applies. These
+    extend the ED-R drift fit from the exact sizes (<= 24) to the NQS
+    sizes, entirely independent of the Binder moments."""
+    tables: dict[int, dict[float, tuple[float, float]]] = {}
+    for n in R_LOG_SIZES:
+        path = os.path.join(LOGS, f"corrratio_N{n}.log")
+        if os.path.exists(path):
+            d = parse_corrratio_log(path)
+            if len(d) >= 2:
+                tables[n] = d
+    pts = []
+    for ns, nb in VMC_PAIRS:
+        if ns not in tables or nb not in tables:
+            continue
+        common = sorted(set(tables[ns]) & set(tables[nb]))
+        if len(common) < 2:
+            if verbose:
+                print(f"# note: corr-ratio VMC pair ({ns},{nb}): <2 common thetas")
+            continue
+        c = pair_crossing(
+            common,
+            [tables[ns][t][0] for t in common],
+            [tables[nb][t][0] for t in common],
+            [tables[ns][t][1] for t in common],
+            [tables[nb][t][1] for t in common],
+        )
+        if c:
+            pts.append((ns, nb, c[0], c[1], "VMC-R"))
+    return pts
+
+
 def main() -> None:
     json_out = None
     args = sys.argv[1:]
@@ -250,6 +305,7 @@ def main() -> None:
     from scripts.corrratio_exact import analyze as r_analyze
 
     r_points = [(ns, nb, tc, err, "ED-R") for ns, nb, tc, err in r_analyze(R_PAIRS, verbose=False)]
+    r_points += vmc_corrratio_points()
     r_fit = None
     if r_points:
         print(f"\n{'pair':>10} {'theta_c':>9} {'+/-':>8}  source")

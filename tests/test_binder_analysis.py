@@ -169,3 +169,46 @@ def test_drift_fit_power_recovers_exponent():
     # n < 4 -> linear fallback
     b3, _, _, omega3, _, _ = drift_fit_power(pts[:3])
     assert omega3 == 1.0
+
+
+def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
+    """binder_fss_final.vmc_corrratio_points: parses the
+    corrratio_measure.sh log format (driver banner noise included) and
+    finds the R(32) x R(64) crossing of synthetic curves that cross at
+    theta = 0.9; missing sizes and short grids are skipped silently."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import scripts.binder_fss_final as fss
+
+    def write_log(n, slope, offset):
+        # disordered side R -> 1, ordered side R -> 0; steeper for bigger N
+        lines = []
+        for t in (0.85, 0.875, 0.9, 0.925, 0.95):
+            r = offset + slope * (t - 0.9)
+            lines += [
+                f"=== theta={t} ===",
+                f"# prefix: runs/RBMTrSymmLICH-L{n}NF4A2.5T{t}V9",
+                "# what : corrratio",
+                f"# corrratio R={r:.6f} R_err=0.002000 S_peak=1.0 S_neighbor={r:.6f}",
+            ]
+        lines.append("# skip theta=1.05 (no checkpoint)")
+        (tmp_path / f"corrratio_N{n}.log").write_text("\n".join(lines) + "\n")
+
+    # lines cross where 0.5 + 2 dt = 0.52 + 4 dt -> dt = -0.01, tc = 0.89
+    write_log(32, 2.0, 0.5)
+    write_log(64, 4.0, 0.52)
+    # N=96 log exists but has a single theta -> must be ignored
+    (tmp_path / "corrratio_N96.log").write_text(
+        "=== theta=0.9 ===\n# corrratio R=0.5 R_err=0.002 S_peak=1 S_neighbor=0.5\n"
+    )
+    monkeypatch.setattr(fss, "LOGS", str(tmp_path))
+
+    d = fss.parse_corrratio_log(str(tmp_path / "corrratio_N32.log"))
+    assert set(d) == {0.85, 0.875, 0.9, 0.925, 0.95}
+    assert d[0.85] == (pytest.approx(0.4), pytest.approx(0.002))
+
+    pts = fss.vmc_corrratio_points(verbose=False)
+    assert len(pts) == 1
+    ns, nb, tc, terr, src = pts[0]
+    assert (ns, nb, src) == (32, 64, "VMC-R")
+    assert tc == pytest.approx(0.89, abs=1e-6)
+    assert 0 < terr < 0.01
