@@ -7,7 +7,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 echo "#### [r3k-1] TPU verify drive ####"
-timeout 900 python /tmp/drive_vmc.py tpu || echo "verify drive FAILED"
+timeout 900 python scripts/drive_vmc.py tpu || echo "verify drive FAILED"
 
 echo "#### [r3k-2] energy-kernel A/B: phase-product + unroll ####"
 timeout 2400 python scripts/bench_kernels_ab.py \
