@@ -111,7 +111,7 @@ def main() -> None:
     # correlation-ratio crossings (independent observable, same drift axis)
     from scripts.corrratio_exact import DEFAULT_PAIRS, analyze as r_analyze
 
-    r_points = r_analyze(DEFAULT_PAIRS + [(12, 24)], verbose=False)
+    r_points = r_analyze(DEFAULT_PAIRS, verbose=False)
     if r_points:
         xs = [1.0 / ns for ns, _nb, _tc, _e in r_points]
         ys = [tc for _ns, _nb, tc, _e in r_points]
@@ -119,6 +119,17 @@ def main() -> None:
         ax2.errorbar(xs, ys, yerr=es, color=BLUE, marker="^", ms=6, ls="none",
                      mfc=SURFACE, mec=BLUE, mew=1.2, capsize=2.5,
                      elinewidth=1.0, label="ED crossings (corr. ratio R)",
+                     zorder=3)
+    from scripts.binder_fss_final import vmc_corrratio_points
+
+    rv_points = vmc_corrratio_points(verbose=False)
+    if rv_points:
+        xs = [1.0 / ns for ns, _nb, _tc, _e, _s in rv_points]
+        ys = [tc for _ns, _nb, tc, _e, _s in rv_points]
+        es = [e for _ns, _nb, _tc, e, _s in rv_points]
+        ax2.errorbar(xs, ys, yerr=es, color=ORANGE, marker="^", ms=6,
+                     ls="none", mfc=SURFACE, mec=ORANGE, mew=1.2, capsize=2.5,
+                     elinewidth=1.0, label="VMC crossings (corr. ratio R)",
                      zorder=3)
     xmax = max(1.0 / ns for ns, *_ in points) * 1.12
     xs_fit = [i * xmax / 200 for i in range(201)]
