@@ -50,6 +50,38 @@ def build_machine(ansatz: str, n_inputs: int, n_hidden: int, dtype):
     return cls(n_inputs=n_inputs, n_hiddens=n_hidden, dtype=dtype)
 
 
+def hamiltonian_kwargs(model: str, l_sites: int, args, theta: float | None = None,
+                       alpha: float | None = None) -> dict:
+    """build_hamiltonian kwargs from CLI args - the single definition of
+    the coupling conventions (LICH theta -> (j, h), harmonic-trap vector)
+    shared by the train driver and measure -what=energy, so a trained
+    state is always re-evaluated against exactly the Hamiltonian it was
+    trained on. theta/alpha override the CLI values for grid sweeps."""
+    import math
+
+    model = model.lower()
+    kw: dict = {"pbc": bool(args.find("pbc", int))}
+    if model == "lich":
+        theta = args.find("theta", float) if theta is None else theta
+        alpha = args.find("alpha", float) if alpha is None else alpha
+        kw.update(j=math.sin(theta), h=-math.cos(theta), alpha=alpha)
+    elif model == "hubbard":
+        n_up, n_down = args.mfind("npar", int)
+        kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
+        trap = args.find("trap", float)
+        if trap != 0.0:
+            # harmonic trap V(i) = trap*(i-(L-1)/2)^2, same on both spin
+            # flavors (generate_harmonic_potential,
+            # fermi_hubbard_CH-train_rbm.cu:117-128)
+            centered = np.arange(l_sites) - (l_sites - 1.0) / 2.0
+            kw.update(v=tuple(np.tile(trap * centered**2, 2)))
+    elif model == "cb":
+        kw.update(h=args.find("h", float), j1=args.find("J", float))
+    else:
+        kw.update(h=args.find("h", float), j=args.find("J", float))
+    return kw
+
+
 def build_hamiltonian(model: str, n_inputs: int, **kw):
     model = model.lower()
     if model == "ch":

@@ -97,6 +97,14 @@ def main(argv=None):
     args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="measure")
     print(args.banner())
     what = args.find("what").lower()
+    if args.find("nbeta").lower() == "auto" and (
+        what in ("density", "opdm")
+        or (what == "energy" and args.find("model").lower() == "hubbard")
+    ):
+        # the auto probe runs single-spin-flip tempering, which leaves the
+        # fermion particle-number sector - its ladder diagnostics would be
+        # meaningless and FermionAmplitudeSampler takes no n_beta anyway
+        raise ValueError("-nbeta=auto: parallel tempering is not wired for the exchange sampler")
     dtype = jnp.float32 if args.find("dtype") == "float32" else jnp.float64
     n, nf, ns = args.find("L", int), args.find("nf", int), args.find("ns", int)
     seed = args.find("seed", int)
@@ -148,32 +156,15 @@ def main(argv=None):
         # <H> +/- err of a trained checkpoint (free fn meas_energy,
         # cpu/include/measurements.hpp:123-144; the reference's CPU
         # meas drivers print it without retraining)
-        import math as _math
-
-        from neural_network_quantum_state_tpu.drivers.common import build_hamiltonian
+        from neural_network_quantum_state_tpu.drivers.common import build_hamiltonian, hamiltonian_kwargs
         from neural_network_quantum_state_tpu.measurements.estimators import measure_energy
 
         model = args.find("model").lower()
         if model == "none":
             raise ValueError("-what=energy requires -model (and its couplings)")
-        ham_kw: dict = {"pbc": bool(args.find("pbc", int))}
-        if model == "lich":
-            theta = args.find("theta", float)
-            ham_kw.update(j=_math.sin(theta), h=-_math.cos(theta), alpha=args.find("alpha", float))
-        elif model == "hubbard":
-            n_up, n_down = args.mfind("npar", int)
-            ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
-            trap = args.find("trap", float)
-            if trap != 0.0:
-                # same trap vector the train driver builds (train.py:125-131)
-                l_sites = n // 2
-                centered = np.arange(l_sites) - (l_sites - 1) / 2.0
-                ham_kw.update(v=tuple(np.tile(trap * centered**2, 2)))
-        elif model == "cb":
-            ham_kw.update(h=args.find("h", float), j1=args.find("J", float))
-        else:
-            ham_kw.update(h=args.find("h", float), j=args.find("J", float))
-        ham = build_hamiltonian(model, n, **ham_kw)
+        # -L here is the machine width, i.e. 2*sites for the Hubbard chain
+        l_sites = n // 2 if model == "hubbard" else n
+        ham = build_hamiltonian(model, n, **hamiltonian_kwargs(model, l_sites, args))
         if model == "hubbard":
             from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
 

@@ -13,7 +13,6 @@ metrics, RSD early stop.
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -26,6 +25,7 @@ from neural_network_quantum_state_tpu.drivers.common import (
     build_hamiltonian,
     build_machine,
     checkpoint_prefix,
+    hamiltonian_kwargs,
 )
 from neural_network_quantum_state_tpu.utils.checkpoint import (
     load_reference_text,
@@ -118,27 +118,13 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
     n_inputs = 2 * l if model == "hubbard" else l
     machine = build_machine(ansatz, n_inputs, nf, dtype)
 
-    ham_kw: dict = {"pbc": pbc}
+    ham_kw = hamiltonian_kwargs(model, l, args, theta=theta, alpha=alpha)
     prefix_kw: dict = {}
     if model == "lich":
-        ham_kw.update(j=math.sin(theta), h=-math.cos(theta), alpha=alpha)
         prefix_kw.update(alpha=alpha, theta=theta)
     elif model == "hubbard":
-        n_up, n_down = args.mfind("npar", int)
-        ham_kw.update(u=args.find("U", float), t=args.find("t", float), n_up=n_up, n_down=n_down)
-        trap = args.find("trap", float)
-        if trap != 0.0:
-            # harmonic trap V(i) = trap*(i-(L-1)/2)^2, same on both spin
-            # flavors (generate_harmonic_potential,
-            # fermi_hubbard_CH-train_rbm.cu:117-128)
-            centered = np.arange(l) - (l - 1.0) / 2.0
-            ham_kw.update(v=tuple(np.tile(trap * centered**2, 2)))
         prefix_kw.update(u=args.find("U", float))
-    elif model == "cb":
-        ham_kw.update(h=args.find("h", float), j1=args.find("J", float))
-        prefix_kw.update(h=args.find("h", float))
     else:
-        ham_kw.update(h=args.find("h", float), j=args.find("J", float))
         prefix_kw.update(h=args.find("h", float))
     ham = build_hamiltonian(model, n_inputs, **ham_kw)
 
@@ -150,19 +136,11 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         solve_dtype = jnp.float64
     elif sd_opt in ("float32", "f32"):
         solve_dtype = jnp.float32  # explicit opt-out of the large-V auto-default
-    elif (
-        machine.n_vars >= 500
-        and args.find("solver") in ("cg", "auto")
-        and dtype == jnp.float32
-    ):
-        # measured quality cliff: pure-f32 CG at V >~ 500 stagnates and can
-        # NaN (RESULTS.md 5b) - auto-enable the cheap mixed-precision solve
+    elif nqs.vmc.wants_large_v_mixed_precision(machine, args.find("solver")):
+        # pre-enable x64 so VMC.__init__'s large-V auto-default (the single
+        # source of the threshold/solver policy) can apply solve_dtype=f64
+        # instead of falling back to the no-x64 warning path
         jax.config.update("jax_enable_x64", True)
-        solve_dtype = jnp.float64
-        print(
-            f"# V={machine.n_vars} >= 500: auto-enabling mixed-precision SR "
-            "(-solvedtype=float32 to opt out)"
-        )
     nbeta_raw = args.find("nbeta").lower()
     auto_nbeta = nbeta_raw == "auto"
     if auto_nbeta and getattr(ham, "sampler_kind", "flip") == "exchange":
@@ -202,6 +180,14 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         params, start_step, key_data, spins = load_npz(rpath, machine)
         if key_data is None or spins is None:
             raise ValueError(f"{rpath} lacks RNG/walker state - not a resumable checkpoint")
+        if spins.shape[0] != cfg.n_walkers:
+            # shard_walker_tree pattern-matches on leading dim == n_walkers,
+            # so a mismatched ensemble would be silently replicated instead
+            # of sharded (and every n_walkers-sized mask downstream breaks)
+            raise ValueError(
+                f"{rpath} holds {spins.shape[0]} walkers but -ns={cfg.n_walkers}; "
+                "resume with the checkpoint's walker count"
+            )
         state = metropolis.init_state(machine.make_work(params), jnp.asarray(spins, dtype), jnp.asarray(key_data))
         if mesh is not None:
             params = nqs.parallel.replicate_tree(params, mesh)

@@ -87,27 +87,41 @@ def _abs_mag_moments(sampler: AmplitudeSampler, coeff: Optional[jnp.ndarray], n_
     return float(np.mean(m1)), float(np.mean(m2)), float(np.mean(m4))
 
 
+def _blocked_jackknife(fn, trials, n_blocks: int = 20):
+    """Blocked jackknife of a nonlinear statistic ``fn(*means)``.
+
+    Per-iteration estimates are autocorrelated (successive estimates are
+    n_sweeps apart); blocking into n_blocks bins decorrelates them, and
+    the leave-one-block-out jackknife propagates the nonlinearity
+    correctly (a naive per-trial average of fn is biased). ``fn`` is
+    evaluated on scalars for the central value and broadcast over the
+    leave-one-out arrays for the error.
+
+    Returns (value, err, block_means). Needs >= 2 trials (with one the
+    blocking degenerates to an empty array and everything becomes NaN)."""
+    ts = [np.asarray(t, np.float64) for t in trials]
+    size = ts[0].size
+    if size < 2:
+        raise ValueError(f"blocked jackknife needs >= 2 trial estimates, got {size}")
+    n_blocks = max(2, min(n_blocks, size))
+    usable = (size // n_blocks) * n_blocks
+    bs = [t[:usable].reshape(n_blocks, -1).mean(axis=1) for t in ts]
+    value = fn(*[b.mean() for b in bs])
+    jk = fn(*[(b.sum() - b) / (n_blocks - 1) for b in bs])
+    err = np.sqrt((n_blocks - 1) / n_blocks * ((jk - jk.mean()) ** 2).sum())
+    return float(value), float(err), bs
+
+
 def binder_cumulant(m2_trials: np.ndarray, m4_trials: np.ndarray, n_blocks: int = 20):
     """U = 1 - <m^4>/(3 <m^2>^2) with a blocked-jackknife error.
 
-    Per-iteration moment estimates are autocorrelated (successive estimates
-    are n_sweeps apart); blocking into n_blocks bins decorrelates them, and
-    the jackknife propagates the nonlinear m4/m2^2 ratio correctly (a naive
-    per-trial U average is biased). Standard FSS methodology for locating
-    the crossing (the reference paper's analysis; python/meas_smag.py:32-41
-    computes U without error bars)."""
-    m2_t, m4_t = np.asarray(m2_trials, np.float64), np.asarray(m4_trials, np.float64)
-    n_blocks = max(2, min(n_blocks, m2_t.size))
-    usable = (m2_t.size // n_blocks) * n_blocks
-    m2_b = m2_t[:usable].reshape(n_blocks, -1).mean(axis=1)
-    m4_b = m4_t[:usable].reshape(n_blocks, -1).mean(axis=1)
-    u_full = 1.0 - m4_b.mean() / (3.0 * m2_b.mean() ** 2)
-    # jackknife: leave one block out
-    m2_j = (m2_b.sum() - m2_b) / (n_blocks - 1)
-    m4_j = (m4_b.sum() - m4_b) / (n_blocks - 1)
-    u_j = 1.0 - m4_j / (3.0 * m2_j**2)
-    u_err = np.sqrt((n_blocks - 1) / n_blocks * ((u_j - u_j.mean()) ** 2).sum())
-    return float(u_full), float(u_err)
+    Standard FSS methodology for locating the crossing (the reference
+    paper's analysis; python/meas_smag.py:32-41 computes U without error
+    bars)."""
+    u, u_err, _ = _blocked_jackknife(
+        lambda m2, m4: 1.0 - m4 / (3.0 * m2**2), (m2_trials, m4_trials), n_blocks
+    )
+    return u, u_err
 
 
 def spontaneous_magnetization(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: int = 1, n_warmup: int = 100,
@@ -177,17 +191,10 @@ def correlation_ratio(sampler: AmplitudeSampler, n_iterations: int, n_sweeps: in
     n = sampler.n_inputs
     ks = [np.pi, np.pi + 2.0 * np.pi / n]
     s_t = structure_factor_trials(sampler, ks, n_iterations, n_sweeps, n_warmup)
-    sp_t, sn_t = np.float64(s_t[:, 0]), np.float64(s_t[:, 1])
-    n_blocks = max(2, min(n_blocks, sp_t.size))
-    usable = (sp_t.size // n_blocks) * n_blocks
-    sp_b = sp_t[:usable].reshape(n_blocks, -1).mean(axis=1)
-    sn_b = sn_t[:usable].reshape(n_blocks, -1).mean(axis=1)
-    r_full = sn_b.mean() / sp_b.mean()
-    sp_j = (sp_b.sum() - sp_b) / (n_blocks - 1)
-    sn_j = (sn_b.sum() - sn_b) / (n_blocks - 1)
-    r_j = sn_j / sp_j
-    r_err = np.sqrt((n_blocks - 1) / n_blocks * ((r_j - r_j.mean()) ** 2).sum())
-    return float(r_full), float(r_err), float(sp_b.mean()), float(sn_b.mean())
+    r_full, r_err, (sp_b, sn_b) = _blocked_jackknife(
+        lambda sp, sn: sn / sp, (s_t[:, 0], s_t[:, 1]), n_blocks
+    )
+    return r_full, r_err, float(sp_b.mean()), float(sn_b.mean())
 
 
 # ---------------------------------------------------------------------------

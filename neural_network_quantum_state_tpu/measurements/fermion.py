@@ -85,6 +85,15 @@ class FermionAmplitudeSampler:
         work, bonds, nus = self.work, self.bonds, self.n_unit_steps
         if self.use_fused:
             bonds_t = self._bonds_tuple
+            if self.mesh is not None:
+                # a bare pallas_call is opaque to GSPMD (it would be
+                # all-gathered and run replicated); shard_map it over the
+                # walker axis like VMC's exchange training path (vmc.py)
+                interp = self.mesh.devices.ravel()[0].platform == "cpu"
+                fused_ex = kawasaki.make_fused_exchange_sharded_sweeps(
+                    self.mesh, bonds_t, nus, interpret=interp
+                )
+                return lambda state: fused_ex(work, state, n_sweeps)
             interp = jax.devices()[0].platform == "cpu"
 
             def adv(state):

@@ -60,8 +60,7 @@ def _unit_phase_prod(zre, zim):
 
 def _energy_kernel(
     sched_ref,  # (n_sites,) int32 scalar-prefetch (site list)
-    wre_ref,
-    wim_ref,  # (N, H)
+    wre_ref,  # (N, H); w_im enters only via the precomputed cos/sin(2 w_im)
     c2w_ref,
     s2w_ref,  # (N, H): cos(2*w_im), sin(2*w_im) precomputed by XLA
     are_ref,
@@ -279,7 +278,6 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
             fixed_spec(n, h),
             fixed_spec(n, h),
             fixed_spec(n, h),
-            fixed_spec(n, h),
             fixed_spec(n, 1),
             fixed_spec(n, 1),
             fixed_spec(n, 1),
@@ -314,7 +312,6 @@ def _pallas_offdiag_body(work, cache, sites, block_k, interpret, k, n, h, has_c=
     )(
         jnp.asarray(sites, jnp.int32),
         work.w.re,
-        work.w.im,
         c2w,
         s2w,
         a.re.reshape(n, 1),

@@ -125,6 +125,22 @@ class VMCConfig:
     seed: int = 0
 
 
+# Large-V mixed-precision policy (single source; drivers consult it to
+# pre-enable x64 before VMC.__init__ applies the solve_dtype default):
+# a pure-f32 CG solve at V >~ 500 walks into a measured quality cliff
+# (roundoff residual collapse -> NaN update, RESULTS.md 5b).
+LARGE_V_THRESHOLD = 500
+LARGE_V_SOLVERS = ("cg", "auto")
+
+
+def wants_large_v_mixed_precision(machine, solver: str) -> bool:
+    return (
+        machine.n_vars >= LARGE_V_THRESHOLD
+        and solver in LARGE_V_SOLVERS
+        and jnp.dtype(machine.real_dtype) == jnp.float32
+    )
+
+
 class VMC:
     def __init__(
         self,
@@ -164,18 +180,15 @@ class VMC:
                     "solve_dtype/energy_dtype=float64 requires jax_enable_x64 "
                     "(jax.config.update('jax_enable_x64', True) before building the VMC)"
                 )
-        # Large-V auto-default: a pure-f32 CG solve at V >~ 500 walks into a
-        # measured quality cliff (roundoff residual collapse -> NaN update,
-        # RESULTS.md 5b - the f32-auto N=128 run died this way). The fix is
-        # cheap (O(KV) casts + the O(V) solve in f64), so default it rather
-        # than rely on a comment: upgrade solve_dtype when x64 is available,
-        # warn loudly when it is not. Explicit solve_dtype=float32 opts out.
+        # Large-V auto-default (wants_large_v_mixed_precision above; the
+        # f32-auto N=128 run died on this cliff). The fix is cheap (O(KV)
+        # casts + the O(V) solve in f64), so default it rather than rely on
+        # a comment: upgrade solve_dtype when x64 is available, warn loudly
+        # when it is not. Explicit solve_dtype=float32 opts out.
         if (
-            machine.n_vars >= 500
-            and config.solver in ("cg", "auto")
+            wants_large_v_mixed_precision(machine, config.solver)
             and config.solve_dtype is None
             and config.energy_dtype is None
-            and jnp.dtype(machine.real_dtype) == jnp.float32
         ):
             if jax.config.jax_enable_x64:
                 config = dataclasses.replace(config, solve_dtype=jnp.float64)

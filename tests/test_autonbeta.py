@@ -155,3 +155,28 @@ def test_measure_driver_nbeta_auto(tmp_path):
         ]
     )
     assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0 and 0.0 <= m4 <= 1.0
+
+
+def test_measure_driver_nbeta_auto_rejects_fermion_modes(tmp_path):
+    """-nbeta=auto with an exchange-sampled mode (-what=density/opdm, or
+    -what=energy on Hubbard) must fail loudly: the single-spin-flip probe
+    leaves the particle-number sector, so its ladder diagnostics would be
+    meaningless (and FermionAmplitudeSampler takes no n_beta)."""
+    import pytest
+
+    from neural_network_quantum_state_tpu.drivers import measure
+
+    for what_args in (
+        ["-what=density", "-npar=1,1"],
+        ["-what=opdm", "-npar=1,1"],
+        ["-what=energy", "-model=hubbard", "-npar=1,1", "-U=4", "-t=1"],
+    ):
+        with pytest.raises(ValueError, match="exchange sampler"):
+            measure.main(
+                what_args
+                + [
+                    "-ansatz=rbm", "-L=6", "-nf=2", "-ns=64", "-prefix=unused",
+                    "-niter=2", "-nms=1", "-nwarm=2", "-dtype=float64",
+                    "-nbeta=auto",
+                ]
+            )

@@ -444,3 +444,26 @@ def test_measure_energy_mode_hubbard_trap(tmp_path):
         ]
     )
     assert e.real - e_nt.real > 0.2  # trap term is positive and material
+
+
+def test_train_structured_resume_on_mesh(tmp_path):
+    """-resume with -mesh: the restored params replicate
+    (nqs.parallel.replicate_tree - an unexported symbol here crashed every
+    multi-device resume) and the walker ensemble re-shards; a walker-count
+    mismatch is rejected loudly instead of being silently replicated."""
+    import pytest
+
+    common = [
+        "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=128",
+        "-nwarm=40", "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}",
+        "-rsd=1e-12", "-nrec=20",
+    ]
+    res = train.main(common + ["-niter=20"])
+    prefix = os.path.basename(res[0]["prefix"])
+
+    res2 = train.main(common + ["-niter=10", f"-resume={prefix}", "-mesh=2"])
+    assert res2[0]["history"][0]["step"] == 20
+
+    bad = [a if not a.startswith("-ns=") else "-ns=256" for a in common]
+    with pytest.raises(ValueError, match="walkers"):
+        train.main(bad + ["-niter=10", f"-resume={prefix}", "-mesh=2"])
