@@ -104,12 +104,21 @@ def parse_input(label: str, path: str) -> dict[float, dict]:
     return parse_log(path)
 
 
+U_SATURATED = 0.66  # within ~1% of the fully-ordered 2/3 plateau
+
+
 def crossings(thetas, ua, ub, ea, eb):
     """Sign changes of D = ub - ua over the theta grid -> list of
-    (theta_lo, theta_hi, theta_c, theta_c_err, significant).  A crossing
-    is `significant` when the bracketing differences both exceed their
-    own propagated 1-sigma errors — sign flips inside the error band
-    (e.g. in the saturated-U deep phase) are reported but flagged."""
+    (theta_lo, theta_hi, theta_c, theta_c_err, status).  Status is
+    "ok" only for the physical FSS crossing shape: D goes negative ->
+    positive with increasing theta (U shrinks with N in the disordered
+    phase, grows with N in the ordered phase) with both bracketing
+    differences outside their own propagated 1-sigma errors, away from
+    the saturated plateau.  Everything else is still printed, flagged:
+    "not significant" (inside the error band), "wrong direction"
+    (+ -> - re-crossings from residual per-point convergence
+    systematics), or "saturated" (all four bracketing U values on the
+    U = 2/3 plateau, where curve ordering is statistical noise)."""
     found = []
     for i in range(1, len(thetas)):
         d0, d1 = ub[i - 1] - ua[i - 1], ub[i] - ua[i]
@@ -123,8 +132,15 @@ def crossings(thetas, ua, ub, ea, eb):
         s1 = (ea[i] ** 2 + eb[i] ** 2) ** 0.5
         slope = abs(d1 - d0) / (t1 - t0)
         terr = ((s0**2 + s1**2) / 2) ** 0.5 / max(slope, 1e-12)
-        sig = abs(d0) > s0 and abs(d1) > s1
-        found.append((t0, t1, tc, terr, sig))
+        if abs(d0) <= s0 or abs(d1) <= s1:
+            status = "not significant"
+        elif not (d0 < 0.0 < d1):
+            status = "wrong direction"
+        elif min(ua[i - 1], ub[i - 1], ua[i], ub[i]) > U_SATURATED:
+            status = "saturated"
+        else:
+            status = "ok"
+        found.append((t0, t1, tc, terr, status))
     return found
 
 
@@ -176,13 +192,13 @@ def main():
         found = crossings(common, ua, ub, ea, eb)
         if not found:
             print(f"# no U({lb})-U({la}) crossing inside the grid")
-        for t0, t1, tc, terr, sig in found:
-            note = "" if sig else "  [NOT significant at 1 sigma]"
+        for t0, t1, tc, terr, status in found:
+            note = "" if status == "ok" else f"  [{status} - excluded from FSS]"
             print(
                 f"# U({lb}) x U({la}) crossing in ({t0}, {t1}): "
                 f"theta_c ~ {tc:.4f} +/- {terr:.4f}{note}"
             )
-            if sig:
+            if status == "ok":
                 pair_crossings.append((float(la), tc, terr))
 
     # Finite-size-scaling extrapolation: the pair crossing theta_c(N, 2N)
@@ -206,6 +222,10 @@ def main():
         print(
             f"# FSS extrapolation over {len(pair_crossings)} pair crossings: "
             f"theta_c(inf) ~ {b:.4f} +/- {berr:.4f}  (drift slope a={a:.3f})"
+        )
+        print(
+            "# (errors here are jackknife-only; scripts/binder_fss_final.py "
+            "folds in two-sided convergence systematics and the ED pairs)"
         )
 
 
