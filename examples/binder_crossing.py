@@ -107,18 +107,22 @@ def parse_input(label: str, path: str) -> dict[float, dict]:
 U_SATURATED = 0.66  # within ~1% of the fully-ordered 2/3 plateau
 
 
-def crossings(thetas, ua, ub, ea, eb):
+def crossings(thetas, ua, ub, ea, eb, direction=1, saturated=U_SATURATED):
     """Sign changes of D = ub - ua over the theta grid -> list of
     (theta_lo, theta_hi, theta_c, theta_c_err, status).  Status is
-    "ok" only for the physical FSS crossing shape: D goes negative ->
-    positive with increasing theta (U shrinks with N in the disordered
-    phase, grows with N in the ordered phase) with both bracketing
+    "ok" only for the physical FSS crossing shape: D changes sign in
+    the `direction` the observable dictates (+1: negative -> positive
+    with increasing theta, the Binder cumulant - U shrinks with N in
+    the disordered phase, grows with N in the ordered phase; -1 the
+    reverse, e.g. the correlation ratio R which falls to 0 with N in
+    the ordered phase; 0: no direction constraint) with both bracketing
     differences outside their own propagated 1-sigma errors, away from
-    the saturated plateau.  Everything else is still printed, flagged:
-    "not significant" (inside the error band), "wrong direction"
-    (+ -> - re-crossings from residual per-point convergence
-    systematics), or "saturated" (all four bracketing U values on the
-    U = 2/3 plateau, where curve ordering is statistical noise)."""
+    the saturated plateau.  Everything else is still reported, flagged:
+    "not significant" (inside the error band, or non-finite errors),
+    "wrong direction" (re-crossings from residual per-point convergence
+    systematics), or "saturated" (all four bracketing values above
+    `saturated` - for U, the 2/3 plateau where curve ordering is
+    statistical noise; pass saturated=None to disable)."""
     found = []
     for i in range(1, len(thetas)):
         d0, d1 = ub[i - 1] - ua[i - 1], ub[i] - ua[i]
@@ -132,11 +136,11 @@ def crossings(thetas, ua, ub, ea, eb):
         s1 = (ea[i] ** 2 + eb[i] ** 2) ** 0.5
         slope = abs(d1 - d0) / (t1 - t0)
         terr = ((s0**2 + s1**2) / 2) ** 0.5 / max(slope, 1e-12)
-        if abs(d0) <= s0 or abs(d1) <= s1:
+        if not (abs(d0) > s0 and abs(d1) > s1):  # also catches NaN errors
             status = "not significant"
-        elif not (d0 < 0.0 < d1):
+        elif direction != 0 and not (direction * d0 < 0.0 < direction * d1):
             status = "wrong direction"
-        elif min(ua[i - 1], ub[i - 1], ua[i], ub[i]) > U_SATURATED:
+        elif saturated is not None and min(ua[i - 1], ub[i - 1], ua[i], ub[i]) > saturated:
             status = "saturated"
         else:
             status = "ok"

@@ -57,12 +57,23 @@ def vmc_table() -> dict:
     return assemble(parse_logs(found))
 
 
-def pair_crossing(thetas, ua, ub, ea, eb):
-    """Significant crossings only; returns (tc, err) or None."""
-    found = [c for c in crossings(thetas, ua, ub, ea, eb) if c[4]]
+def pair_crossing(thetas, ua, ub, ea, eb, direction=1, saturated=None):
+    """Physical ("ok") crossings only; returns (tc, err) or None.
+
+    direction follows examples.binder_crossing.crossings (+1 Binder U,
+    -1 correlation ratio R). The Binder callers here pass saturated=None
+    because the two-sided table already folds convergence systematics
+    into the per-point errors (a plateau re-crossing shows up as
+    not-significant instead)."""
+    all_found = crossings(thetas, ua, ub, ea, eb, direction=direction, saturated=saturated)
+    found = [c for c in all_found if c[4] == "ok"]
     if not found:
-        # fall back to any crossing, flagged by a widened error
-        found = [(t0, t1, tc, max(terr, (t1 - t0) / 2), s) for t0, t1, tc, terr, s in crossings(thetas, ua, ub, ea, eb)]
+        # fall back to any right-direction crossing, flagged by a widened error
+        found = [
+            (t0, t1, tc, max(terr, (t1 - t0) / 2), s)
+            for t0, t1, tc, terr, s in all_found
+            if s != "wrong direction"
+        ]
     if not found:
         return None
     t0, t1, tc, terr, _ = found[0]
@@ -265,6 +276,7 @@ def vmc_corrratio_points(verbose: bool = True) -> list[tuple[int, int, float, fl
             [tables[nb][t][0] for t in common],
             [tables[ns][t][1] for t in common],
             [tables[nb][t][1] for t in common],
+            direction=-1,  # R falls with N in the ordered phase: D flips + -> -
         )
         if c:
             pts.append((ns, nb, c[0], c[1], "VMC-R"))

@@ -86,7 +86,7 @@ def analyze(pairs, verbose: bool = True) -> list[tuple[int, int, float, float]]:
                 print(f"#   {t:6.4f}  {da[repr(t)]['R']:.4f}  {db[repr(t)]['R']:.4f}")
         ra = [da[repr(t)]["R"] for t in common]
         rb = [db[repr(t)]["R"] for t in common]
-        found = crossings(common, ra, rb, [0.0] * len(common), [0.0] * len(common))
+        found = crossings(common, ra, rb, [0.0] * len(common), [0.0] * len(common), direction=-1)
         for t0, t1, tc, terr, _sig in found:
             err = max(terr, (t1 - t0) / 4)
             if verbose:

@@ -69,10 +69,10 @@ def test_crossing_linear_interpolation(bc):
     ub = [0.40, 0.48, 0.53]
     found = bc.crossings(thetas, ua, ub, [0.001] * 3, [0.001] * 3)
     assert len(found) == 1
-    t0, t1, tc, terr, sig = found[0]
+    t0, t1, tc, terr, status = found[0]
     assert (t0, t1) == (0.9, 1.0)
     assert tc == pytest.approx(0.94)
-    assert sig  # |D| = 0.02 and 0.03 both >> 1.4e-3 propagated sigma
+    assert status == "ok"  # |D| = 0.02 and 0.03 both >> 1.4e-3 propagated sigma
     assert terr < 0.01
 
 
@@ -82,7 +82,30 @@ def test_crossing_significance_flag(bc):
     thetas = [0.9, 1.0]
     found = bc.crossings(thetas, [0.5, 0.5], [0.48, 0.53], [0.05, 0.05], [0.05, 0.05])
     assert len(found) == 1
-    assert not found[0][4]
+    assert found[0][4] == "not significant"
+    # ... as must a crossing whose bracketing point carries a NaN error
+    nan = float("nan")
+    found = bc.crossings(thetas, [0.5, 0.5], [0.48, 0.53], [nan, 0.001], [0.001, 0.001])
+    assert found[0][4] == "not significant"
+
+
+def test_crossing_direction_and_saturation_flags(bc):
+    # + -> - re-crossing (convergence systematics): wrong direction for U
+    found = bc.crossings([0.9, 1.0], [0.5, 0.5], [0.53, 0.48], [0.001] * 2, [0.001] * 2)
+    assert found[0][4] == "wrong direction"
+    # ...but it is the PHYSICAL direction for the correlation ratio R
+    found = bc.crossings([0.9, 1.0], [0.5, 0.5], [0.53, 0.48], [0.001] * 2, [0.001] * 2, direction=-1)
+    assert found[0][4] == "ok"
+    # sign flip with every bracketing value on the 2/3 plateau: saturated
+    found = bc.crossings(
+        [1.4, 1.5], [0.6662, 0.6666], [0.6645, 0.6667], [1e-5] * 2, [1e-5] * 2
+    )
+    assert found[0][4] == "saturated"
+    # the same geometry passes with the plateau check disabled
+    found = bc.crossings(
+        [1.4, 1.5], [0.6662, 0.6666], [0.6645, 0.6667], [1e-5] * 2, [1e-5] * 2, saturated=None
+    )
+    assert found[0][4] == "ok"
 
 
 def test_no_crossing_on_monotone_gap(bc):
@@ -180,7 +203,9 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
     import scripts.binder_fss_final as fss
 
     def write_log(n, slope, offset):
-        # disordered side R -> 1, ordered side R -> 0; steeper for bigger N
+        # R -> 1 on the disordered (small-theta) side, -> 0 in the ordered
+        # phase, falling faster for bigger N (the physical orientation the
+        # direction=-1 scan in vmc_corrratio_points requires)
         lines = []
         for t in (0.85, 0.875, 0.9, 0.925, 0.95):
             r = offset + slope * (t - 0.9)
@@ -193,9 +218,9 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
         lines.append("# skip theta=1.05 (no checkpoint)")
         (tmp_path / f"corrratio_N{n}.log").write_text("\n".join(lines) + "\n")
 
-    # lines cross where 0.5 + 2 dt = 0.52 + 4 dt -> dt = -0.01, tc = 0.89
-    write_log(32, 2.0, 0.5)
-    write_log(64, 4.0, 0.52)
+    # lines cross where 0.5 - 2 dt = 0.52 - 4 dt -> dt = 0.01, tc = 0.91
+    write_log(32, -2.0, 0.5)
+    write_log(64, -4.0, 0.52)
     # N=96 log exists but has a single theta -> must be ignored
     (tmp_path / "corrratio_N96.log").write_text(
         "=== theta=0.9 ===\n# corrratio R=0.5 R_err=0.002 S_peak=1 S_neighbor=0.5\n"
@@ -204,11 +229,11 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
 
     d = fss.parse_corrratio_log(str(tmp_path / "corrratio_N32.log"))
     assert set(d) == {0.85, 0.875, 0.9, 0.925, 0.95}
-    assert d[0.85] == (pytest.approx(0.4), pytest.approx(0.002))
+    assert d[0.85] == (pytest.approx(0.6), pytest.approx(0.002))
 
     pts = fss.vmc_corrratio_points(verbose=False)
     assert len(pts) == 1
     ns, nb, tc, terr, src = pts[0]
     assert (ns, nb, src) == (32, 64, "VMC-R")
-    assert tc == pytest.approx(0.89, abs=1e-6)
+    assert tc == pytest.approx(0.91, abs=1e-6)
     assert 0 < terr < 0.01
