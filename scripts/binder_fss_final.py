@@ -107,6 +107,46 @@ def drift_fit(points) -> tuple[float, float, float, float, float]:
     return b, berr * scale, a, chi2_dof, scale
 
 
+def drift_fit2(points) -> tuple[float, float, float, float, float, float]:
+    """Two-correction drift fit theta_c(N) = theta_c(inf) + a/N + b/N^2.
+
+    The ED pair crossings are numerically exact (errors are grid-floored
+    at 1e-4), so the pure-1/N model's huge chi2 (~1e3/dof) measures a real
+    higher-order correction, not noise. Adding the 1/N^2 term absorbs it.
+    Weighted normal equations on the 3-parameter linear model; parameter
+    error from the covariance diagonal, inflated by sqrt(chi2/dof) like
+    drift_fit. Returns (theta_c_inf, err, a, b, chi2/dof, err_scale);
+    falls back to drift_fit when fewer than 4 points."""
+    if len(points) < 4:
+        b0, berr, a, chi2_dof, scale = drift_fit(points)
+        return b0, berr, a, 0.0, chi2_dof, scale
+    ws = [1.0 / max(e, 1e-4) ** 2 for _, _, _, e, _ in points]
+    xs = [1.0 / ns for ns, _, _, _, _ in points]
+    ys = [tc for _, _, tc, _, _ in points]
+    # design matrix columns: [1, x, x^2]
+    import numpy as _np
+
+    A = _np.array([[1.0, x, x * x] for x in xs])
+    W = _np.diag(ws)
+    ata = A.T @ W @ A
+    atb = A.T @ W @ _np.array(ys)
+    coef = _np.linalg.solve(ata, atb)
+    cov = _np.linalg.inv(ata)
+    resid = _np.array(ys) - A @ coef
+    chi2 = float(resid @ W @ resid)
+    dof = len(points) - 3
+    chi2_dof = chi2 / dof if dof > 0 else float("nan")
+    scale = max(1.0, chi2_dof**0.5) if dof > 0 else 1.0
+    return (
+        float(coef[0]),
+        float(cov[0, 0] ** 0.5) * scale,
+        float(coef[1]),
+        float(coef[2]),
+        chi2_dof,
+        scale,
+    )
+
+
 def drift_fit_power(points) -> tuple[float, float, float, float, float, float]:
     """Free-exponent drift fit theta_c(N) = theta_c(inf) + a * N_small^-omega.
 
@@ -309,6 +349,12 @@ def main() -> None:
         f"(a = {ap:.3f}, omega = {omega:.2f}, chi2/dof = {chi2p:.1f}, "
         f"err scale x{scalep:.1f})"
     )
+    b2, b2err, a2, c2, chi22, scale2 = drift_fit2(points)
+    print(
+        f"# two-correction fit (1/N + 1/N^2): theta_c(inf) = {b2:.4f} +/- "
+        f"{b2err:.4f} (a = {a2:.3f}, b = {c2:.1f}, chi2/dof = {chi22:.1f}, "
+        f"err scale x{scale2:.1f})"
+    )
 
     # Independent observable: exact correlation-ratio crossings R_N(theta)
     # (scripts/corrratio_exact.py grids). Same drift model, separate fit -
@@ -351,6 +397,13 @@ def main() -> None:
                         "slope": ap,
                         "omega": omega,
                         "chi2_dof": chi2p,
+                    },
+                    "two_correction_fit": {
+                        "theta_c_inf": b2,
+                        "theta_c_inf_err": b2err,
+                        "a": a2,
+                        "b": c2,
+                        "chi2_dof": chi22,
                     },
                     "corrratio_crossings": [
                         {"n_small": ns, "n_big": nb, "theta_c": tc, "err": terr}

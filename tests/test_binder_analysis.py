@@ -237,3 +237,22 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
     assert (ns, nb, src) == (32, 64, "VMC-R")
     assert tc == pytest.approx(0.91, abs=1e-6)
     assert 0 < terr < 0.01
+
+
+def test_drift_fit2_recovers_two_corrections():
+    """binder_fss_final.drift_fit2: data generated with theta_c + a/N +
+    b/N^2 is recovered exactly (the pure-1/N fit is biased on it); with
+    < 4 points it falls back to the linear model (b pinned to 0)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.binder_fss_final import drift_fit, drift_fit2
+
+    pts = [(n, 2 * n, 0.9 + 0.5 / n - 12.0 / n**2, 0.001, "ED") for n in (8, 10, 12, 32, 64)]
+    b0, berr, a, b2, chi2_dof, scale = drift_fit2(pts)
+    assert abs(b0 - 0.9) < 1e-6 and abs(a - 0.5) < 1e-4 and abs(b2 + 12.0) < 1e-2
+    assert scale == 1.0  # exact model -> no inflation
+    b1, *_ = drift_fit(pts)
+    assert abs(b1 - 0.9) > 100 * abs(b0 - 0.9)
+
+    # n < 4 -> linear fallback with b = 0
+    b3, _, _, b2_3, _, _ = drift_fit2(pts[:3])
+    assert b2_3 == 0.0
