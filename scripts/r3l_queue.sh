@@ -82,13 +82,18 @@ else
   echo "hubbard L32 trap FAILED again (see above)"
 fi
 
-echo "#### [r3l-2] N=96 crossing-region tightening ####"
+echo "#### [r3l-2] N=96 + N=64 crossing-region tightening ####"
+# The N=64 theta=0.9 point is the weakest link in BOTH dimensionless
+# observables: Binder two-sided halfspread +/-0.107, and the corr-ratio
+# N=64 curve is non-monotonic there (R=0.438 at 0.9 vs 0.372 at 0.875,
+# logs/corrratio_N64.log) - an under-ordered latest-version state. Extend
+# both lineages (V16 from-below block-move redo, V11 from-above).
 CONVBM=scripts/binder_converge_bm.sh
-for SPEC in "0.925 1" "0.925 2" "0.9 1" "0.9 2" "0.95 2"; do
-  time_left || { echo "r3l cutoff before N=96 point $SPEC"; break; }
+for SPEC in "64 0.9 16" "64 0.9 11" "96 0.925 1" "96 0.925 2" "96 0.9 1" "96 0.9 2" "96 0.95 2" "96 1.2 2"; do
+  time_left || { echo "r3l cutoff before point $SPEC"; break; }
   set -- $SPEC
-  echo "######## N=96 theta=$1 V$2 tighten ########"
-  bash $CONVBM 96 $1 $2 3 0.005
+  echo "######## N=$1 theta=$2 V$3 tighten ########"
+  bash $CONVBM $1 $2 $3 3 0.005
 done
 if time_left && [ ! -f runs/RBMTrSymmLICH-L96NF4A2.5T0.95V1.state.npz ]; then
   echo "######## N=96 theta=0.95 V1 from-below (anneal from T0.925V1) ########"
@@ -108,9 +113,14 @@ if time_left; then
   bash scripts/binder_final_measure.sh 64 "1.1" logs/measure_stag_N64_T11_redo2.log
 fi
 
-echo "#### [r3l-4] final N=96 measurement pass over tightened points ####"
+echo "#### [r3l-4] final measurement passes over tightened points ####"
 if time_left; then
   bash scripts/binder_final_measure.sh 96 "0.7 0.85 0.875 0.9 0.925 0.95 1.2" logs/measure_stag_N96_final2.log
+  bash scripts/binder_final_measure.sh 64 "0.9" logs/measure_stag_N64_T09_redo.log
+  # corr-ratio re-passes on the tightened states (overwrite the old logs:
+  # binder_fss_final.vmc_corrratio_points reads the whole file)
+  bash scripts/corrratio_measure.sh 64 "0.85 0.875 0.9 0.925 0.95 1" logs/corrratio_N64.log
+  bash scripts/corrratio_measure.sh 96 "0.85 0.875 0.9 0.925 0.95" logs/corrratio_N96.log
 fi
 
 echo "#### R3L QUEUE DONE ####"
