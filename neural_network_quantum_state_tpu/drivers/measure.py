@@ -52,6 +52,9 @@ OPTIONS = [
     ("prefix2", "second checkpoint (fidelity/overlap)"),
     ("l", "renyi subregion size"),
     ("niter", "# of measurement iterations"),
+    ("mchunk", "max measurement iterations per device call (0 = one scan; "
+               "bound it on remote-tunnel backends whose per-call watchdog "
+               "kills minutes-long scans at large L)"),
     ("nms", "# of sweeps between measurements"),
     ("nwarm", "# of warm-up sweeps"),
     ("seed", "RNG seed"),
@@ -80,6 +83,7 @@ DEFAULTS = {
     "prefix2": "None",
     "l": "0",
     "niter": "500",
+    "mchunk": "0",
     "nms": "3",
     "nwarm": "300",
     "seed": "0",
@@ -146,11 +150,17 @@ def main(argv=None):
     else:
         n_beta = int(nbeta_raw)
 
+    mchunk = args.find("mchunk", int)
+
+    def with_chunk(s):
+        s.scan_chunk = mchunk
+        return s
+
     def make_sampler(key):
-        return AmplitudeSampler(
+        return with_chunk(AmplitudeSampler(
             machine, params, ns, key=key, init_spins=init_spins, n_beta=n_beta,
             mesh=mesh, use_fused=use_fused,
-        )
+        ))
 
     if what == "energy":
         # <H> +/- err of a trained checkpoint (free fn meas_energy,
@@ -169,7 +179,7 @@ def main(argv=None):
             from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
 
             n_up, n_down = args.mfind("npar", int)
-            s1 = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
+            s1 = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
         else:
             s1 = make_sampler(seed)
         s1.warm_up(nwarm)
@@ -187,10 +197,10 @@ def main(argv=None):
         if what == "fidelity":
             s1 = make_sampler(seed)
             # same mesh: replicas must be co-sharded for device-local cross terms
-            s2 = AmplitudeSampler(
+            s2 = with_chunk(AmplitudeSampler(
                 machine2, params2, ns, key=seed + 987654321, init_spins=init_spins,
                 n_beta=n_beta, mesh=mesh, use_fused=use_fused,
-            )
+            ))
             val, err = fidelity(s1, s2, niter, nwarm, nms)
             print(f"# fidelity : {val:.6f} +/- {err:.2e}")
             return val, err
@@ -249,7 +259,7 @@ def main(argv=None):
 
         n_up, n_down = args.mfind("npar", int)
         site = args.find("site", int)
-        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
+        fs = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
         l = machine.n_inputs // 2
         row = [
             opdm_pair(fs, site, m, niter, nms, nwarm if m == 0 else 0)
@@ -270,7 +280,7 @@ def main(argv=None):
         )
 
         n_up, n_down = args.mfind("npar", int)
-        fs = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused)
+        fs = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
         occ = density_profile(fs, niter, nms, nwarm)
         l = machine.n_inputs // 2
         np.savetxt(args.find("prefix") + ".density.dat", np.c_[occ[:l], occ[l:]])

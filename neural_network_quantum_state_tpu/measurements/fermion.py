@@ -110,23 +110,49 @@ class FermionAmplitudeSampler:
     def do_mcmc_steps(self, n_sweeps: int) -> None:
         self.state = self._advance_fn(n_sweeps)(self.state)
 
-    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1):
+    # Per-call scan-chunk bound, as in AmplitudeSampler.scan_chunk (the
+    # remote-tunnel watchdog matters MOST here: fermion estimators at
+    # L=32 run minutes-long monolithic scans). 0 = one scan.
+    scan_chunk: int = 0
+
+    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1, chunk: int | None = None):
         """Run ``n_iterations`` of (advance n_sweeps; accum_fn(cache, lnpsi))
         as ONE device computation (lax.scan), like
         :meth:`AmplitudeSampler.run_estimator` - one dispatch per
-        measurement instead of one per iteration."""
+        measurement instead of one per iteration. ``chunk`` > 0 bounds
+        each device call to that many iterations (``None`` falls back to
+        ``self.scan_chunk``)."""
+        if chunk is None:
+            chunk = self.scan_chunk
         adv = self._advance_fn(n_sweeps)
 
         def body(state, _):
             state = adv(state)
             return state, accum_fn(state.cache, state.lnpsi)
 
-        @jax.jit
-        def runner(state):
-            return jax.lax.scan(body, state, None, length=n_iterations)
+        def make_runner(length):
+            @jax.jit
+            def runner(state):
+                return jax.lax.scan(body, state, None, length=length)
 
-        self.state, outs = runner(self.state)
-        return jax.device_get(outs)
+            return runner
+
+        if chunk <= 0 or chunk >= n_iterations:
+            self.state, outs = make_runner(n_iterations)(self.state)
+            return jax.device_get(outs)
+
+        import numpy as np
+
+        n_full, rem = divmod(n_iterations, chunk)
+        runner = make_runner(chunk)
+        pieces = []
+        for _ in range(n_full):
+            self.state, o = runner(self.state)
+            pieces.append(jax.device_get(o))
+        if rem:
+            self.state, o = make_runner(rem)(self.state)
+            pieces.append(jax.device_get(o))
+        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 
     @property
     def spins(self) -> jnp.ndarray:

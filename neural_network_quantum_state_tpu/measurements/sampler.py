@@ -107,7 +107,12 @@ class AmplitudeSampler:
             return tree
         return jax.tree_util.tree_map(lambda x: x[:: self.n_beta], tree)
 
-    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1):
+    # Per-call scan-chunk bound used by run_estimator / run_pair_estimator
+    # when the caller doesn't pass ``chunk`` explicitly; drivers.measure
+    # sets it from -mchunk. 0 = one monolithic scan (the default).
+    scan_chunk: int = 0
+
+    def run_estimator(self, accum_fn, n_iterations: int, n_sweeps: int = 1, chunk: int | None = None):
         """Run ``n_iterations`` of (advance n_sweeps; accum_fn(cache, lnpsi))
         as ONE device computation (lax.scan) and return accum_fn's outputs
         stacked on axis 0, as host numpy.
@@ -116,19 +121,46 @@ class AmplitudeSampler:
         (measured 15-30 ms dispatch latency through the remote TPU tunnel,
         dominating measure-driver wall clock at niter=500); the training
         loop batches steps the same way (vmc.py steps_per_host_loop).
-        ``accum_fn`` receives the beta=1 slice under tempering."""
+        ``accum_fn`` receives the beta=1 slice under tempering.
+
+        ``chunk`` > 0 splits the scan into ceil(n/chunk)-many device calls
+        of at most ``chunk`` iterations each: the remote-tunnel worker
+        enforces a per-call watchdog, and one monolithic scan at large
+        system size can exceed it (the Hubbard L=32 trap training chunks
+        died this way at ~55 s/call; see drivers.train -mloop). The
+        chunk-sized executable is compiled once and reused. ``chunk=None``
+        falls back to ``self.scan_chunk``."""
+        if chunk is None:
+            chunk = self.scan_chunk
         adv = self._advance_fn(n_sweeps)
 
         def body(state, _):
             state = adv(state)
             return state, accum_fn(self._beta1(state.cache), self._beta1(state.lnpsi))
 
-        @jax.jit
-        def runner(state):
-            return jax.lax.scan(body, state, None, length=n_iterations)
+        def make_runner(length):
+            @jax.jit
+            def runner(state):
+                return jax.lax.scan(body, state, None, length=length)
 
-        self.state, outs = runner(self.state)
-        return jax.device_get(outs)
+            return runner
+
+        if chunk <= 0 or chunk >= n_iterations:
+            self.state, outs = make_runner(n_iterations)(self.state)
+            return jax.device_get(outs)
+
+        import numpy as np
+
+        n_full, rem = divmod(n_iterations, chunk)
+        runner = make_runner(chunk)
+        pieces = []
+        for _ in range(n_full):
+            self.state, o = runner(self.state)
+            pieces.append(jax.device_get(o))
+        if rem:
+            self.state, o = make_runner(rem)(self.state)
+            pieces.append(jax.device_get(o))
+        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 
     @property
     def spins(self) -> jnp.ndarray:
@@ -161,13 +193,19 @@ def run_pair_estimator(
     accum_fn,
     n_iterations: int,
     n_sweeps: int = 1,
+    chunk: int | None = None,
 ):
     """Two-replica variant of :meth:`AmplitudeSampler.run_estimator`: both
     samplers advance in lock-step inside one device-side lax.scan (the
     Renyi/fidelity pattern, impl_meas.cuh:57-99). ``accum_fn(c1, ln1, c2,
     ln2)`` sees the beta=1 slices. Under a mesh, both replicas carry the
     same walker sharding, so the swap/cross terms are device-local
-    (SURVEY.md 7 'hard parts': replicas must be co-located)."""
+    (SURVEY.md 7 'hard parts': replicas must be co-located). ``chunk``
+    splits the scan into bounded device calls exactly like
+    :meth:`AmplitudeSampler.run_estimator`; ``None`` falls back to the
+    larger of the two samplers' ``scan_chunk``."""
+    if chunk is None:
+        chunk = max(s1.scan_chunk, s2.scan_chunk)
     adv1, adv2 = s1._advance_fn(n_sweeps), s2._advance_fn(n_sweeps)
 
     def body(carry, _):
@@ -178,9 +216,26 @@ def run_pair_estimator(
         )
         return (st1, st2), out
 
-    @jax.jit
-    def runner(st1, st2):
-        return jax.lax.scan(body, (st1, st2), None, length=n_iterations)
+    def make_runner(length):
+        @jax.jit
+        def runner(st1, st2):
+            return jax.lax.scan(body, (st1, st2), None, length=length)
 
-    (s1.state, s2.state), outs = runner(s1.state, s2.state)
-    return jax.device_get(outs)
+        return runner
+
+    if chunk <= 0 or chunk >= n_iterations:
+        (s1.state, s2.state), outs = make_runner(n_iterations)(s1.state, s2.state)
+        return jax.device_get(outs)
+
+    import numpy as np
+
+    n_full, rem = divmod(n_iterations, chunk)
+    runner = make_runner(chunk)
+    pieces = []
+    for _ in range(n_full):
+        (s1.state, s2.state), o = runner(s1.state, s2.state)
+        pieces.append(jax.device_get(o))
+    if rem:
+        (s1.state, s2.state), o = make_runner(rem)(s1.state, s2.state)
+        pieces.append(jax.device_get(o))
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)

@@ -70,13 +70,13 @@ if train_chain; then
   echo "## trained runs/$PREFIX"
   echo "#### [r3l-1b] Hubbard trap measures: energy / density / opdm ####"
   timeout 1800 python -m neural_network_quantum_state_tpu.drivers.measure \
-    -what=energy -model=hubbard -U=4 -t=1 -trap=0.05 -ansatz=rbm -L=64 -nf=64 \
+    -what=energy -model=hubbard -U=4 -t=1 -trap=0.05 -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
     -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -niter=300 -nms=3 -nwarm=500 -fused=1 -seed=3
   timeout 1800 python -m neural_network_quantum_state_tpu.drivers.measure \
-    -what=density -ansatz=rbm -L=64 -nf=64 \
+    -what=density -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
     -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -niter=300 -nms=3 -nwarm=500 -fused=1 -seed=4
   timeout 1800 python -m neural_network_quantum_state_tpu.drivers.measure \
-    -what=opdm -ansatz=rbm -L=64 -nf=64 \
+    -what=opdm -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
     -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -site=16 -niter=300 -nms=3 -nwarm=500 -fused=1 -seed=5
 else
   echo "hubbard L32 trap FAILED again (see above)"
