@@ -24,8 +24,8 @@ run() { # tag, extra args...
   local TAG=$1; shift
   echo "#### [$TAG] $*" | tee -a "$LOG"
   for attempt in 1 2 3; do
-    timeout 1200 python -m neural_network_quantum_state_tpu.drivers.measure \
-      -what=renyi -ansatz=rbmtrsymm -L=64 -nf=4 -l=32 "$@" 2>>"$LOG" | tail -2 | tee -a "$LOG" \
+    timeout 2400 python -m neural_network_quantum_state_tpu.drivers.measure \
+      -what=renyi -ansatz=rbmtrsymm -L=64 -nf=4 -l=32 -mchunk=100 "$@" 2>>"$LOG" | tail -2 | tee -a "$LOG" \
       && return 0
     echo "[$TAG] attempt $attempt failed; sleeping 60s" | tee -a "$LOG"
     sleep 60
