@@ -45,18 +45,29 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _logs(*names: str) -> list[str]:
+    """Existing files among logs/<names>, in the given (chronological)
+    order - later passes supersede earlier readings per theta."""
+    paths = [os.path.join(REPO, "logs", n) for n in names]
+    return [p for p in paths if os.path.exists(p)]
+
+
 DEFAULT_INPUTS = [
-    ("32", os.path.join(REPO, "logs", "measure_stag_N32_final.log")),
-    ("64", os.path.join(REPO, "logs", "measure_stag_N64_final.log")),
-] + [
-    # larger FSS sizes join the default table as their campaign
-    # measurement passes land (stage B / r3i write these logs)
-    (label, path)
-    for label, path in (
-        ("96", os.path.join(REPO, "logs", "measure_stag_N96_final.log")),
-        ("128", os.path.join(REPO, "logs", "measure_stag_N128_final.log")),
+    (label, paths)
+    for label, paths in (
+        ("32", _logs("measure_stag_N32_final.log")),
+        # the targeted redo passes (r3k theta=1.1, r3l theta=0.9/1.1) come
+        # after the full final pass so their tightened values win
+        ("64", _logs(
+            "measure_stag_N64_final.log",
+            "measure_stag_N64_T11_redo.log",
+            "measure_stag_N64_T11_redo2.log",
+            "measure_stag_N64_T09_redo.log",
+        )),
+        ("96", _logs("measure_stag_N96_final.log", "measure_stag_N96_final2.log")),
+        ("128", _logs("measure_stag_N128_final.log")),
     )
-    if os.path.exists(path)
+    if paths
 ]
 
 _HDR = re.compile(r"=== theta=([\d.]+) ===")
@@ -98,7 +109,17 @@ def parse_exact_json(path: str, size: str) -> dict[float, dict]:
     }
 
 
-def parse_input(label: str, path: str) -> dict[float, dict]:
+def parse_input(label: str, path) -> dict[float, dict]:
+    """One size's curve. ``path`` may be a list of log files (or a
+    comma-joined string of them): parsed in order, later files supersede
+    earlier readings per theta."""
+    if isinstance(path, str) and "," in path:
+        path = path.split(",")
+    if isinstance(path, (list, tuple)):
+        out: dict[float, dict] = {}
+        for p in path:
+            out.update(parse_input(label, p))
+        return out
     if path.endswith(".json"):
         return parse_exact_json(path, label)
     return parse_log(path)
@@ -163,7 +184,12 @@ def main():
     data = [(label, parse_input(label, path)) for label, path in inputs]
     for label, d in data:
         if not d:
-            raise SystemExit(f"no stag rows parsed for N={label}")
+            # a measurement pass may be mid-write (banner, no rows yet) -
+            # drop the size rather than abort the whole table
+            print(f"# note: no stag rows parsed for N={label}, skipped")
+    data = [(label, d) for label, d in data if d]
+    if not data:
+        raise SystemExit("no stag rows parsed from any input")
 
     thetas = sorted(set.union(*(set(d) for _, d in data)))
     hdr = f"{'theta':>6}"
