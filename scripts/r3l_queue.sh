@@ -31,6 +31,7 @@ cutoff_epoch() {
 time_left() { [ "$(date -u +%s)" -lt "$(cutoff_epoch)" ]; }
 
 echo "#### [r3l-1] Hubbard L=32 trap (minsr + short chunks + resume chain) ####"
+mkdir -p /tmp/hbdisc
 echo "## discriminator: cg solver, mloop=5, 80 iters (watchdog-vs-data test)"
 timeout 900 python -m neural_network_quantum_state_tpu.drivers.train \
   -model=hubbard -ansatz=rbm -L=32 -nf=64 -U=4 -t=1 -npar=5,5 -trap=0.05 \
