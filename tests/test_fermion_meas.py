@@ -142,3 +142,26 @@ def test_fermion_sampler_fused_on_mesh_matches_single_device():
     s = np.asarray(f2.spins)
     assert np.all(((1 + s[:, :l]) / 2).sum(1) == 1)
     assert np.all(((1 + s[:, l:]) / 2).sum(1) == 1)
+
+
+def test_fermion_run_estimator_chunked_matches_monolithic():
+    """FermionAmplitudeSampler.run_estimator(chunk=...) must reproduce the
+    monolithic scan exactly (chain advance is deterministic) - the
+    remote-tunnel watchdog mitigation of drivers.measure -mchunk."""
+    machine = RBM(n_inputs=2 * L, n_hiddens=8, dtype=jnp.float64)
+    params = machine.init_params(jax.random.PRNGKey(3))
+
+    def accum(cache, lnpsi):
+        return jnp.mean(cache.spins), jnp.mean(lnpsi.re)
+
+    def run(chunk):
+        smp = FermionAmplitudeSampler(
+            machine, params, n_walkers=64, n_up=N_UP, n_down=N_DN, key=7
+        )
+        smp.warm_up(10)
+        return smp.run_estimator(accum, 15, n_sweeps=2, chunk=chunk)
+
+    mono, chunked = run(0), run(4)  # 4+4+4+3: remainder executable too
+    for a, b in zip(mono, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    assert np.asarray(mono[0]).shape == (15,)
