@@ -90,7 +90,8 @@ echo "#### [r3l-2] N=96 + N=64 crossing-region tightening ####"
 # logs/corrratio_N64.log) - an under-ordered latest-version state. Extend
 # both lineages (V16 from-below block-move redo, V11 from-above).
 CONVBM=scripts/binder_converge_bm.sh
-for SPEC in "64 0.9 16" "64 0.9 11" "96 0.925 1" "96 0.925 2" "96 0.9 1" "96 0.9 2" "96 0.95 2" "96 1.2 2"; do
+for SPEC in "64 0.9 16" "64 0.9 11" "96 0.925 1" "96 0.925 2" "96 0.9 1" "96 0.9 2" "96 0.95 2" "96 1.2 2" \
+            "96 0.875 1" "96 0.875 2" "96 0.85 2"; do
   time_left || { echo "r3l cutoff before point $SPEC"; break; }
   set -- $SPEC
   echo "######## N=$1 theta=$2 V$3 tighten ########"
