@@ -76,7 +76,9 @@ OPTIONS = [
              "gpu optimizer.cuh:153-155; 0 = only save at the end)"),
     ("dtype", "float32 | float64"),
     ("pbc", "periodic boundary (1/0)"),
-    ("mloop", "SR iterations per device call (latency amortization)"),
+    ("mloop", "SR iterations per device call (latency amortization; LOWER it "
+              "at large system size - remote-tunnel workers enforce a "
+              "per-call watchdog that killed ~55 s Hubbard L=32 chunks)"),
     ("fused", "use the fused Pallas sweep kernel (1/0, f32 RBM family)"),
     ("blockmoves", "symmetric block-flip proposals per sweep (ergodicity in the ordered phase)"),
 ]
