@@ -182,6 +182,38 @@ def main() -> None:
     print(f"\n# swap-estimator cross-check (RBMTrSymm): {est:.4f} "
           f"vs exact-enum {exact:.4f}  (|diff| = {abs(est - exact):.4f})")
 
+    # 5. increment-trick estimator at a comparable sample budget: the
+    # glued-ensemble ratio observable is O(1) per level, so the heavy-tail
+    # low bias of the direct swap ratio (6c/6d) should vanish
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    inc, inc_err, _ = renyi2_increment(
+        machine, params, l, n_iterations=60, n_sweeps=2, n_warmup=200,
+        walkers_per_level=512, key=seed + 300,
+    )
+    print(f"# increment-estimator cross-check (RBMTrSymm): {inc:.4f} +/- {inc_err:.4f} "
+          f"vs exact-enum {exact:.4f}  (|diff| = {abs(inc - exact):.4f})")
+
+    # 6. hybrid: Z2-orbit-quadrature swap base at l0=1 (sector ergodicity
+    # restored analytically) + Neel-init glued increment chain for levels
+    # 1..l-1 - the deep-ordered production configuration
+    # (drivers.measure -what=renyi_inc -l0=1 -init=neel)
+    from neural_network_quantum_state_tpu.measurements.renyi_increment import swap_base_z2
+
+    sa = AmplitudeSampler(machine, params, n_walkers=2048, key=seed + 400)
+    sb = AmplitudeSampler(machine, params, n_walkers=2048, key=seed + 500)
+    base, base_err = swap_base_z2(sa, sb, 1, n_iterations=60, n_sweeps=2, n_warmup=200)
+    neel = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    inc2, inc2_err, _ = renyi2_increment(
+        machine, params, l, n_iterations=60, n_sweeps=2, n_warmup=200,
+        walkers_per_level=512, key=seed + 600, level_offset=1,
+        init_spins=(neel, neel),
+    )
+    tot = base + inc2
+    tot_err = float(np.sqrt(base_err**2 + inc2_err**2))
+    print(f"# hybrid (z2 base {base:.4f} + glue {inc2:+.4f}) cross-check: {tot:.4f} +/- {tot_err:.4f} "
+          f"vs exact-enum {exact:.4f}  (|diff| = {abs(tot - exact):.4f})")
+
 
 if __name__ == "__main__":
     main()

@@ -5,7 +5,7 @@
         -prefix=./runs/RBMTrSymmLICH-L32NF4A2T2V1 -l=16 -niter=500
 
 what: energy-free estimators over a trained checkpoint -
-  renyi | fidelity | smag | stag | corrratio | neel | zz | xx | overlap
+  renyi | renyi_inc | fidelity | smag | stag | corrratio | neel | zz | xx | overlap
 (fidelity/overlap compare -prefix against -prefix2.)
 """
 
@@ -33,7 +33,7 @@ from neural_network_quantum_state_tpu.utils.checkpoint import load_reference_tex
 from neural_network_quantum_state_tpu.utils.cli import DriverArgs
 
 OPTIONS = [
-    ("what", "energy | renyi | fidelity | smag | stag | corrratio | neel | zz | xx | overlap | opdm | density"),
+    ("what", "energy | renyi | renyi_inc | fidelity | smag | stag | corrratio | neel | zz | xx | overlap | opdm | density"),
     ("model", "energy only: Hamiltonian to evaluate (CH | LICH | SQ | TRI | CB "
               "| hubbard), with -theta/-alpha (LICH), -h/-J (others), -U/-t (hubbard)"),
     ("theta", "energy+LICH: J=sin(theta), h=-cos(theta)"),
@@ -51,6 +51,10 @@ OPTIONS = [
     ("prefix", "checkpoint prefix to load"),
     ("prefix2", "second checkpoint (fidelity/overlap)"),
     ("l", "renyi subregion size"),
+    ("l0", "renyi_inc only: hybrid level offset - measure q_{l0} with the "
+           "(tempered) swap estimator and the glued increment chain from "
+           "level l0 up; use -l0=1 -nbeta=4 -init=neel for deep-ordered "
+           "states (0 = pure increment chain from the empty region)"),
     ("niter", "# of measurement iterations"),
     ("mchunk", "max measurement iterations per device call (0 = one scan; "
                "bound it on remote-tunnel backends whose per-call watchdog "
@@ -82,6 +86,7 @@ DEFAULTS = {
     "pbc": "1",
     "prefix2": "None",
     "l": "0",
+    "l0": "0",
     "niter": "500",
     "mchunk": "0",
     "nms": "3",
@@ -191,6 +196,40 @@ def main(argv=None):
         s2_val = renyi2_entropy(s1, s2, args.find("l", int), niter, nms, nwarm)
         print(f"# Renyi entropy(-log(Tr[rho^2])) : {s2_val:.6f}")
         return s2_val
+    if what == "renyi_inc":
+        # increment-trick (glued-ensemble ratio) estimator: bias-free at
+        # large l where the direct swap observable is heavy-tailed
+        # (RESULTS.md 6c/6d). -ns = walkers PER LEVEL (levels run as one
+        # batch); -nbeta/-mesh apply only to the hybrid -l0 swap base.
+        from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+        l_sub, l0 = args.find("l", int), args.find("l0", int)
+        base_val, base_err = 0.0, 0.0
+        if l0 > 0:
+            # hybrid base: q_{l0} via the Z2-orbit-quadrature swap
+            # estimator - at small l its observable is O(1), and the
+            # global-flip Rao-Blackwellization restores the sector
+            # ergodicity that chains lack on deep-ordered (cat-like)
+            # states (exactly unbiased for any psi)
+            from neural_network_quantum_state_tpu.measurements.renyi_increment import swap_base_z2
+
+            sa, sb = make_sampler(seed + 17), make_sampler(seed + 987654341)
+            base_val, base_err = swap_base_z2(sa, sb, l0, niter, nms, nwarm)
+            print(f"# base: -ln q_{l0} = {base_val:.6f} +/- {base_err:.6f}  (Z2-quadrature swap, nbeta={n_beta})")
+        inc_init = None
+        if init_spins is not None:
+            inc_init = (init_spins[0], init_spins[0])  # s1 = s2 = the Neel row
+        s2_val, s2_err, per_level = renyi2_increment(
+            machine, params, l_sub, niter, nms, nwarm,
+            walkers_per_level=ns, key=seed, chunk=mchunk,
+            level_offset=l0, init_spins=inc_init,
+        )
+        for j, (lnr, lne, r) in enumerate(per_level, start=l0):
+            print(f"# level {j:3d}: ln(q_{j+1}/q_{j}) = {lnr:+.6f} +/- {lne:.2e}  (Re ratio {r:.6f})")
+        total = base_val + s2_val
+        total_err = float(np.sqrt(base_err**2 + s2_err**2))
+        print(f"# Renyi entropy (increment trick) : {total:.6f} +/- {total_err:.6f}")
+        return total, total_err
     if what in ("fidelity", "overlap"):
         machine2 = build_machine(args.find("ansatz").lower(), n, nf, dtype)
         params2 = load_reference_text(machine2, args.find("prefix2"))

@@ -16,6 +16,7 @@ from neural_network_quantum_state_tpu.measurements.estimators import (
     structure_factor_trials,
     spontaneous_magnetization,
 )
+from neural_network_quantum_state_tpu.measurements.renyi_increment import renyi2_increment
 from neural_network_quantum_state_tpu.measurements.sampler import AmplitudeSampler
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "order_parameter",
     "overlap_integral",
     "renyi2_entropy",
+    "renyi2_increment",
     "spin_x_correlation",
     "structure_factor_trials",
     "spin_z_correlation",

@@ -467,3 +467,24 @@ def test_train_structured_resume_on_mesh(tmp_path):
     bad = [a if not a.startswith("-ns=") else "-ns=256" for a in common]
     with pytest.raises(ValueError, match="walkers"):
         train.main(bad + ["-niter=10", f"-resume={prefix}", "-mesh=2"])
+
+
+def test_measure_renyi_increment_mode(tmp_path):
+    """-what=renyi_inc: increment-trick S2 through the CLI agrees with the
+    direct swap estimator on a small trained state."""
+    res = train.main(
+        [
+            "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=128",
+            "-niter=60", "-nwarm=60", "-lr=2e-2", "-dtype=float64",
+            f"-path={tmp_path}", "-rsd=1e-9",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    common = [
+        "-ansatz=rbmtrsymm", "-L=8", "-nf=2", f"-prefix={prefix}",
+        "-l=4", "-nms=2", "-nwarm=100", "-dtype=float64",
+    ]
+    s2_swap = measure.main(common + ["-what=renyi", "-ns=2048", "-niter=40", "-seed=5"])
+    s2_inc, err = measure.main(common + ["-what=renyi_inc", "-ns=512", "-niter=40", "-seed=6", "-mchunk=16"])
+    assert np.isfinite(s2_inc) and err < 0.2
+    assert abs(s2_inc - s2_swap) < 0.1, (s2_inc, s2_swap)

@@ -314,3 +314,104 @@ def test_run_estimator_chunked_matches_monolithic():
     np.testing.assert_allclose(
         np.asarray(run_pair(0)), np.asarray(run_pair(8)), rtol=0, atol=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Increment-trick Renyi estimator (measurements/renyi_increment.py)
+
+def test_renyi2_increment_vs_exact():
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _machine(2)
+    psi = _psi_vector(m1, p1)
+    psi = psi / np.linalg.norm(psi)
+    l = 3
+    dim_a, dim_b = 2**l, 2 ** (N - l)
+    psi_mat = psi.reshape(dim_b, dim_a)
+    rho_a = psi_mat.T @ psi_mat.conj()
+    s2_exact = -np.log(np.real(np.trace(rho_a @ rho_a)))
+    got, err, per_level = renyi2_increment(
+        m1, p1, l, n_iterations=60, n_sweeps=2, n_warmup=150,
+        walkers_per_level=1024, key=11,
+    )
+    assert per_level.shape == (l, 3)
+    assert abs(got - s2_exact) < max(5 * err, 0.05), (got, s2_exact, err)
+
+
+def test_renyi2_increment_chunked_matches_shape():
+    # chunked device calls concatenate to the same iteration count
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _machine(6)
+    s2a, _, _ = renyi2_increment(m1, p1, 2, n_iterations=12, n_warmup=20,
+                                 walkers_per_level=64, key=3, chunk=5)
+    assert np.isfinite(s2a)
+
+
+def test_glued_state_invariant():
+    """After sweeps: s3 == glue(s1, s2), s4 == glue(s2, s1), caches exact."""
+    from neural_network_quantum_state_tpu.measurements import renyi_increment as ri
+    from neural_network_quantum_state_tpu.ops.rng import random_spins
+
+    m1, p1 = _machine(4)
+    work = m1.make_work(p1)
+    k = 32
+    kk = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(kk, 3)
+    level = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 8)
+    mask = jnp.arange(N, dtype=jnp.int32)[None, :] < level[:, None]
+    s1 = random_spins(k1, k, N, jnp.float64)
+    s2 = random_spins(k2, k, N, jnp.float64)
+    st = ri.init_glued(work, s1, s2, mask, k3)
+    st = ri.glued_sweeps(work, st, jnp.arange(N, dtype=jnp.int32), mask, 5)
+    s1n, s2n = np.asarray(st.c1.spins), np.asarray(st.c2.spins)
+    np.testing.assert_array_equal(np.asarray(st.c3.spins), np.where(mask, s1n, s2n))
+    np.testing.assert_array_equal(np.asarray(st.c4.spins), np.where(mask, s2n, s1n))
+    # incremental ln caches agree with from-scratch forwards
+    for c, ln in ((st.c1, st.ln1), (st.c3, st.ln3), (st.c4, st.ln4)):
+        want = engine.log_psi(work, c.spins)
+        np.testing.assert_allclose(np.asarray(ln.re), np.asarray(want.re), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ln.im), np.asarray(want.im), atol=1e-9)
+    assert float(st.n_proposed) == 2 * 5 * N * k
+
+
+def test_renyi2_increment_hybrid_offset():
+    """level_offset + external base = full S2 (the -l0 hybrid path)."""
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _machine(2)
+    psi = _psi_vector(m1, p1)
+    psi = psi / np.linalg.norm(psi)
+    l, l0 = 3, 1
+    psi_mat = psi.reshape(2 ** (N - l), 2**l)
+    rho_a = psi_mat.T @ psi_mat.conj()
+    s2_exact = -np.log(np.real(np.trace(rho_a @ rho_a)))
+    # exact base: -ln q_1
+    m0 = psi.reshape(2 ** (N - 1), 2)
+    r0 = m0.T @ m0.conj()
+    base = -np.log(np.real(np.trace(r0 @ r0)))
+    neel = np.where(np.arange(N) % 2 == 0, 1.0, -1.0)
+    got, err, per_level = renyi2_increment(
+        m1, p1, l, n_iterations=60, n_sweeps=2, n_warmup=150,
+        walkers_per_level=1024, key=12, level_offset=l0,
+        init_spins=(neel, neel),
+    )
+    assert per_level.shape == (l - l0, 3)
+    assert abs((base + got) - s2_exact) < max(5 * err, 0.05), (base + got, s2_exact, err)
+
+
+def test_swap_base_z2_vs_exact():
+    """Z2-orbit-quadrature swap base agrees with exact Tr rho_A^2 (l=1, 3)."""
+    from neural_network_quantum_state_tpu.measurements.renyi_increment import swap_base_z2
+
+    m1, p1 = _machine(2)
+    psi = _psi_vector(m1, p1)
+    psi = psi / np.linalg.norm(psi)
+    for l in (1, 3):
+        psi_mat = psi.reshape(2 ** (N - l), 2**l)
+        rho_a = psi_mat.T @ psi_mat.conj()
+        want = -np.log(np.real(np.trace(rho_a @ rho_a)))
+        s1 = AmplitudeSampler(m1, p1, n_walkers=1024, key=31 + l)
+        s2 = AmplitudeSampler(m1, p1, n_walkers=1024, key=77 + l)
+        got, err = swap_base_z2(s1, s2, l, n_iterations=40, n_sweeps=2, n_warmup=120)
+        assert abs(got - want) < max(6 * err, 0.05), (l, got, want, err)
