@@ -63,8 +63,14 @@ DEFAULT_INPUTS = [
             "measure_stag_N64_T11_redo.log",
             "measure_stag_N64_T11_redo2.log",
             "measure_stag_N64_T09_redo.log",
+            "measure_stag_N64_T09_redo3.log",
+            "measure_stag_N64_T09_V11_r3n.log",
         )),
-        ("96", _logs("measure_stag_N96_final.log", "measure_stag_N96_final2.log")),
+        ("96", _logs(
+            "measure_stag_N96_final.log",
+            "measure_stag_N96_final2.log",
+            "measure_stag_N96_final3.log",
+        )),
         ("128", _logs("measure_stag_N128_final.log")),
     )
     if paths

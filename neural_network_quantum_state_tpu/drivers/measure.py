@@ -224,8 +224,16 @@ def main(argv=None):
             walkers_per_level=ns, key=seed, chunk=mchunk,
             level_offset=l0, init_spins=inc_init,
         )
+        # levels are INDEPENDENT chains, so the running sums give the whole
+        # entanglement profile S2(l') for every l' <= l from this one
+        # batched run (errors add in quadrature) - e.g. the Calabrese-Cardy
+        # S2(l') curve for a central-charge fit needs a single driver call
+        cum, cum_var = base_val, base_err**2
         for j, (lnr, lne, r) in enumerate(per_level, start=l0):
-            print(f"# level {j:3d}: ln(q_{j+1}/q_{j}) = {lnr:+.6f} +/- {lne:.2e}  (Re ratio {r:.6f})")
+            cum -= lnr
+            cum_var += lne**2
+            print(f"# level {j:3d}: ln(q_{j+1}/q_{j}) = {lnr:+.6f} +/- {lne:.2e}  "
+                  f"(Re ratio {r:.6f})  S2(l={j + 1}) = {cum:.6f} +/- {np.sqrt(cum_var):.6f}")
         total = base_val + s2_val
         total_err = float(np.sqrt(base_err**2 + s2_err**2))
         print(f"# Renyi entropy (increment trick) : {total:.6f} +/- {total_err:.6f}")

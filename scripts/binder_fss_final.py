@@ -41,6 +41,7 @@ CAMPAIGN_LOGS = [
     "binder_n128_r3i.log",
     "r3l_queue.log",
     "r3m_queue.log",
+    "r3n_queue.log",
 ]
 ED_PAIRS = [(8, 16), (10, 20), (12, 24)]
 # realizable pairs over the trained sizes {32, 64, 96, 128}; (64, 96) and
