@@ -31,8 +31,8 @@ import sys
 
 import numpy as np
 
-LEVEL = re.compile(r"level\s+(\d+): ln\(q_\d+/q_\d+\) = ([-\d.]+) \+/- ([\d.eE+-]+)")
-PROF = re.compile(r"S2\(l=(\d+)\) = ([-\d.]+) \+/- ([\d.eE+-]+)")
+LEVEL = re.compile(r"level\s+(\d+): ln\(q_\d+/q_\d+\) = ([+-]?[\d.]+) \+/- ([\d.eE+-]+)")
+PROF = re.compile(r"S2\(l=(\d+)\) = ([+-]?[\d.]+) \+/- ([\d.eE+-]+)")
 
 
 def parse(path: str):

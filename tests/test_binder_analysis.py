@@ -256,3 +256,33 @@ def test_drift_fit2_recovers_two_corrections():
     # n < 4 -> linear fallback with b = 0
     b3, _, _, b2_3, _, _ = drift_fit2(pts[:3])
     assert b2_3 == 0.0
+
+
+def test_central_charge_fit_roundtrip(tmp_path):
+    """scripts/central_charge_fit.py recovers c from a synthetic
+    renyi_inc driver log (locks the parser to the driver's line format)."""
+    import math
+
+    import numpy as np
+
+    from scripts.central_charge_fit import fit_c, parse
+
+    n_sites, c = 64, 0.5
+    x = lambda l: math.log((n_sites / math.pi) * math.sin(math.pi * l / n_sites))
+    rng = np.random.default_rng(0)
+    cum = 0.3
+    lines = []
+    for j in range(1, 32):
+        e = 2e-4
+        v = -((c / 4) * (x(j + 1) - x(j)) + rng.normal(0, e))
+        cum -= v
+        lines.append(
+            f"# level {j:3d}: ln(q_{j+1}/q_{j}) = {v:+.6f} +/- {e:.2e}  "
+            f"(Re ratio 1.0)  S2(l={j+1}) = {cum:.6f} +/- {e:.6f}"
+        )
+    p = tmp_path / "prof.log"
+    p.write_text("\n".join(lines))
+    inc, prof = parse(str(p))
+    assert len(inc) == 31 and len(prof) == 31
+    res = fit_c(inc, n_sites, lmin=4)
+    assert abs(res["c"] - c) < 5 * res["c_err"] + 0.01, res
