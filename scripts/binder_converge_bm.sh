@@ -5,11 +5,14 @@
 # theta=0.9 V10 from-below converge "converged" at U=0.289 vs 0.509 from
 # above (campaign r3g), a sampling trap, not an equilibrium. The tempered
 # MEASUREMENT protocol is unchanged, so U values stay comparable. Usage:
-#   binder_converge_bm.sh L THETA VER [MAXEXT] [TOL]
+#   binder_converge_bm.sh L THETA VER [MAXEXT] [TOL] [NITER] [NBETA]
+# NITER/NBETA beef up each extension block for stubborn arms (the theta=0.9
+# from-below lineages climb at only ~0.007-0.012/8k-iter block).
 set -u -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=$1; T=$2; VER=$3; MAXEXT=${4:-3}; TOL=${5:-0.005}
+NITER=${6:-8000}; NBETA=${7:-4}
 PREFIX=runs/RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER}
 
 measure_u() {
@@ -31,7 +34,7 @@ train_block() {
   for attempt in 1 2 3; do
     if timeout 3000 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=$L -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
-      -ns=8192 -niter=8000 -nwarm=0 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
+      -ns=8192 -niter=$NITER -nwarm=0 -lr=1e-2 -nbeta=$NBETA -fused=1 -blockmoves=1 \
       -resume=RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER} -path=runs -nrec=2000 \
       -seed=$seed | tail -1; then return 0; fi
     echo "train attempt $attempt failed; sleeping 120s" >&2
