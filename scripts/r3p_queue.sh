@@ -1,0 +1,43 @@
+#!/bin/bash
+# r3p chip queue (chains after r3o): redo the Hubbard L=32 harmonic-trap
+# measurements with proper equilibration. logs/hb_warmup_check.log showed
+# the r3l pass (nwarm=500) was unequilibrated: measured energy +0.232 at
+# nwarm=500 vs -0.119 at nwarm=5000 on the same trained state (Kawasaki
+# exchange dynamics in the trap mixes slowly; the spin campaigns' 500
+# sweeps are not enough here). Re-measure energy / density / opdm with
+# nwarm=5000 so the RESULTS trap-profile row reads equilibrated numbers.
+# Gated on /tmp/r3p_cutoff (epoch seconds, live-updatable).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+echo "#### r3p waiting for r3o ####"
+while ! grep -q "R3O QUEUE DONE" logs/r3o_queue.log 2>/dev/null; do sleep 60; done
+
+cutoff_epoch() {
+  if [ -r /tmp/r3p_cutoff ]; then cat /tmp/r3p_cutoff; else
+    date -u -d '2026-08-19 08:15' +%s
+  fi
+}
+time_left() { [ "$(date -u +%s)" -lt "$(cutoff_epoch)" ]; }
+
+PREFIX=RBMHB-L32U4V2
+
+echo "#### [r3p-1] Hubbard L=32 trap re-measures (nwarm=5000) ####"
+if time_left; then
+  timeout 3000 python -m neural_network_quantum_state_tpu.drivers.measure \
+    -what=energy -model=hubbard -U=4 -t=1 -trap=0.05 -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
+    -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -niter=600 -nms=3 -nwarm=5000 -fused=1 -seed=3
+fi
+if time_left; then
+  timeout 3000 python -m neural_network_quantum_state_tpu.drivers.measure \
+    -what=density -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
+    -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -niter=600 -nms=3 -nwarm=5000 -fused=1 -seed=4
+fi
+if time_left; then
+  timeout 3000 python -m neural_network_quantum_state_tpu.drivers.measure \
+    -what=opdm -ansatz=rbm -L=64 -nf=64 -mchunk=25 \
+    -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -site=16 -niter=600 -nms=3 -nwarm=5000 -fused=1 -seed=5
+fi
+
+echo "#### R3P QUEUE DONE ####"
