@@ -25,11 +25,14 @@ echo "#### [r3p-0] central-charge profile: near-critical S2(l') curve ####"
 # carried over from r3n (the running r3n process predated the 1b block and
 # skipped it): one heavy renyi_inc run at theta=0.9 ~ theta_c gives the
 # whole S2(l') profile; fit S2(l) = (c/4) ln[(N/pi) sin(pi l/N)] + const
-# (scripts/central_charge_fit.py).
+# (scripts/central_charge_fit.py). Measured on V11 - the two-sided
+# campaign's converged from-above state (U=0.5236) - not the
+# under-converged round-2 V9 state (whose profile saturates like a
+# gapped state: c = 0.094 +/- 0.013 from the light r3n run).
 if time_left; then
   timeout 4500 python -m neural_network_quantum_state_tpu.drivers.measure \
     -what=renyi_inc -ansatz=rbmtrsymm -L=64 -nf=4 -ns=1024 \
-    -prefix=runs/RBMTrSymmLICH-L64NF4A2.5T0.9V9 -l=32 -l0=1 \
+    -prefix=runs/RBMTrSymmLICH-L64NF4A2.5T0.9V11 -l=32 -l0=1 \
     -nbeta=4 -init=neel -niter=1600 -nms=2 -nwarm=800 -seed=33 -mchunk=50 \
     > logs/renyi_profile_N64_T09.log 2>&1
   python scripts/central_charge_fit.py logs/renyi_profile_N64_T09.log -N=64 \
