@@ -58,4 +58,26 @@ if time_left; then
     -ns=4096 -prefix=runs/$PREFIX -npar=5,5 -site=16 -niter=600 -nms=3 -nwarm=5000 -fused=1 -seed=5
 fi
 
+echo "#### [r3p-2] fine-grid fidelity ladder across theta_c (N=64) ####"
+# Overlap fidelity between neighboring trained states on the tightened
+# 0.85..0.95 grid - the dip localizes the QPT independently of the
+# Binder/corr-ratio crossings (RESULTS 3d used the coarse V9 grid).
+latest() { # L THETA -> newest checkpoint prefix
+  ls runs/RBMTrSymmLICH-L${1}NF4A2.5T${2}V* 2>/dev/null \
+    | grep -Ev '\.(jsonl|npz|dat)$' | sort -t V -k 2 -n | tail -1
+}
+: > logs/fidelity_ladder_N64.log
+for PAIR in "0.85 0.875" "0.875 0.9" "0.9 0.925" "0.925 0.95"; do
+  time_left || { echo "r3p cutoff before fidelity $PAIR"; break; }
+  set -- $PAIR
+  A=$(latest 64 $1); B=$(latest 64 $2)
+  [ -z "$A" ] || [ -z "$B" ] && { echo "skip fidelity $PAIR (missing ckpt)"; continue; }
+  echo "=== F($1, $2): $A vs $B ===" >> logs/fidelity_ladder_N64.log
+  timeout 900 python -m neural_network_quantum_state_tpu.drivers.measure \
+    -what=fidelity -ansatz=rbmtrsymm -L=64 -nf=4 -ns=4096 \
+    -prefix=$A -prefix2=$B -niter=300 -nms=3 -nwarm=500 -nbeta=8 -fused=1 \
+    -seed=29 >> logs/fidelity_ladder_N64.log 2>&1
+  tail -1 logs/fidelity_ladder_N64.log
+done
+
 echo "#### R3P QUEUE DONE ####"
