@@ -55,6 +55,10 @@ OPTIONS = [
            "(tempered) swap estimator and the glued increment chain from "
            "level l0 up; use -l0=1 -nbeta=4 -init=neel for deep-ordered "
            "states (0 = pure increment chain from the empty region)"),
+    ("z2q", "renyi_inc only: in-chain Z2 orbit quadrature (1/0) - "
+            "Rao-Blackwellize every increment level over global spin "
+            "flips; exactly unbiased on deep-ordered cat-like states "
+            "without the -l0 hybrid base (~14 extra forwards/measurement)"),
     ("niter", "# of measurement iterations"),
     ("mchunk", "max measurement iterations per device call (0 = one scan; "
                "bound it on remote-tunnel backends whose per-call watchdog "
@@ -87,6 +91,7 @@ DEFAULTS = {
     "prefix2": "None",
     "l": "0",
     "l0": "0",
+    "z2q": "0",
     "niter": "500",
     "mchunk": "0",
     "nms": "3",
@@ -223,6 +228,7 @@ def main(argv=None):
             machine, params, l_sub, niter, nms, nwarm,
             walkers_per_level=ns, key=seed, chunk=mchunk,
             level_offset=l0, init_spins=inc_init,
+            z2_quadrature=bool(args.find("z2q", int)),
         )
         # levels are INDEPENDENT chains, so the running sums give the whole
         # entanglement profile S2(l') for every l' <= l from this one

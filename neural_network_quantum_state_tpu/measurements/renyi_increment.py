@@ -162,6 +162,68 @@ def _increment_observable(work: Work, state: GluedState, inc_site: jnp.ndarray):
     return num, den
 
 
+def _orbit_increment_observable(work: Work, state: GluedState, mask: jnp.ndarray, inc_site: jnp.ndarray):
+    """Z2-orbit-quadrature increment observable: Rao-Blackwellize the
+    per-walker (num, den) of ``_increment_observable`` over the 4-element
+    global-flip orbit {+-s1} x {+-s2} of the glued ensemble.
+
+    For each orbit element (a, b) the glued configurations are rebuilt as
+    t3 = glue(a s1, b s2), t4 = glue(b s2, a s1) and the level ratio is
+    evaluated there, weighted by the actual sampling weight
+    W_j(a s1, b s2) = |psi(a s1) psi(b s2) psi(t3) psi(t4)| (first power).
+    The orbit-average identity makes the quadrature EXACTLY unbiased for
+    any psi (no Z2 symmetry assumed); its point is deep-ordered cat-like
+    states, where the glued single-flip chains freeze in one Neel sector
+    and the pure increment chain inherits a per-level freeze bias - the
+    quadrature restores the sector average analytically at EVERY level,
+    removing the need for the hybrid ``level_offset`` base (the in-chain
+    refinement flagged in docs/BACKLOG.md after the round-3 N=64 study).
+
+    Cost: 14 extra full batched forwards per measurement step (2 for
+    -s1/-s2 + 4 glued + 2 flip-site forwards per non-identity orbit
+    element); the identity element reuses the incremental caches.
+    """
+    kidx = jnp.arange(state.c1.spins.shape[0])
+    s1, s2 = state.c1.spins, state.c2.spins
+
+    def flip_at(t):
+        return t.at[kidx, inc_site].set(-t[kidx, inc_site])
+
+    lnAs = {1.0: state.ln1, -1.0: engine.log_psi(work, -s1)}
+    lnBs = {1.0: state.ln2, -1.0: engine.log_psi(work, -s2)}
+
+    zs, nums, dens = [], [], []
+    for a in (1.0, -1.0):
+        for b in (1.0, -1.0):
+            lnA, lnB = lnAs[a], lnBs[b]
+            if a > 0 and b > 0:
+                ln3, ln4 = state.ln3, state.ln4
+                d3 = engine.flip_log_psi_per_walker(work, state.c3, inc_site) - ln3
+                d4 = engine.flip_log_psi_per_walker(work, state.c4, inc_site) - ln4
+            else:
+                t3 = jnp.where(mask, a * s1, b * s2)
+                t4 = jnp.where(mask, b * s2, a * s1)
+                ln3 = engine.log_psi(work, t3)
+                ln4 = engine.log_psi(work, t4)
+                d3 = engine.log_psi(work, flip_at(t3)) - ln3
+                d4 = engine.log_psi(work, flip_at(t4)) - ln4
+            differ = (a * s1[kidx, inc_site]) != (b * s2[kidx, inc_site])
+            dre = jnp.where(differ, d3.re + d4.re, 0.0)
+            dim = jnp.where(differ, d3.im + d4.im, 0.0)
+            phase = ln3.im + ln4.im - lnA.im - lnB.im
+            zs.append(lnA.re + lnB.re + ln3.re + ln4.re)  # ln W_j at (a, b)
+            nums.append(cplx.cexp(C(dre, dim + phase)))
+            dens.append(cplx.cexp(C(jnp.zeros_like(phase), phase)))
+    z = jnp.stack(zs)  # (4, K)
+    w = jnp.exp(z - jnp.max(z, axis=0, keepdims=True))
+    wsum = jnp.sum(w, axis=0)
+    num = C(sum(w[i] * o.re for i, o in enumerate(nums)) / wsum,
+            sum(w[i] * o.im for i, o in enumerate(nums)) / wsum)
+    den = C(sum(w[i] * o.re for i, o in enumerate(dens)) / wsum,
+            sum(w[i] * o.im for i, o in enumerate(dens)) / wsum)
+    return num, den
+
+
 def swap_base_z2(
     sampler1,
     sampler2,
@@ -250,6 +312,7 @@ def renyi2_increment(
     n_blocks: int = 20,
     level_offset: int = 0,
     init_spins=None,
+    z2_quadrature: bool = False,
 ):
     """S2(A = [0, l)) - S2(A = [0, level_offset)) via the increment trick;
     returns (s2, err, per_level).
@@ -274,6 +337,13 @@ def renyi2_increment(
     ``chunk`` > 0 bounds each device call to that many scan iterations
     (remote-tunnel watchdog safety - same contract as
     AmplitudeSampler.run_estimator).
+
+    ``z2_quadrature``: Rao-Blackwellize every level's observable over the
+    global-flip orbit (``_orbit_increment_observable``) - exactly unbiased
+    for any psi, and immune to the Neel-sector freeze of the glued chains
+    on deep-ordered cat-like states (the in-chain alternative to the
+    hybrid ``level_offset`` base). ~14 extra batched forwards per
+    measurement step.
     """
     n = machine.n_inputs
     if not (0 <= level_offset < l < n):
@@ -304,7 +374,10 @@ def renyi2_increment(
 
     def body(st, _):
         st = glued_sweeps(work, st, schedule, mask, n_sweeps)
-        num, den = _increment_observable(work, st, inc_site)
+        if z2_quadrature:
+            num, den = _orbit_increment_observable(work, st, mask, inc_site)
+        else:
+            num, den = _increment_observable(work, st, inc_site)
         # per-level means over the walkers_per_level axis
         per = lambda x: jnp.mean(x.reshape(n_levels, walkers_per_level), axis=1)
         return st, (per(num.re), per(num.im), per(den.re), per(den.im))

@@ -400,6 +400,64 @@ def test_renyi2_increment_hybrid_offset():
     assert abs((base + got) - s2_exact) < max(5 * err, 0.05), (base + got, s2_exact, err)
 
 
+def _exact_s2(psi, l):
+    psi = psi / np.linalg.norm(psi)
+    psi_mat = psi.reshape(2 ** (N - l), 2**l)
+    rho_a = psi_mat.T @ psi_mat.conj()
+    return -np.log(np.real(np.trace(rho_a @ rho_a)))
+
+
+def test_renyi2_increment_z2_quadrature_vs_exact():
+    """In-chain Z2 orbit quadrature stays unbiased on a generic state."""
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _machine(2)
+    s2_exact = _exact_s2(_psi_vector(m1, p1), 3)
+    got, err, per_level = renyi2_increment(
+        m1, p1, 3, n_iterations=60, n_sweeps=2, n_warmup=150,
+        walkers_per_level=1024, key=11, z2_quadrature=True,
+    )
+    assert per_level.shape == (3, 3)
+    assert abs(got - s2_exact) < max(5 * err, 0.05), (got, s2_exact, err)
+
+
+def _cat_machine(c=2.0, asym=0.05):
+    """Hand-built sector-ASYMMETRIC cat: lnpsi = asym*sum (-1)^i s_i +
+    logcosh(c * sum (-1)^i s_i) + const - weight concentrates on the two
+    Neel configurations with unequal weights, and single-flip moves out of
+    a Neel state are suppressed by ~e^{-2(logcosh(cN)-logcosh(c(N-2)))}."""
+    m = RBM(n_inputs=N, n_hiddens=10, dtype=jnp.float64)
+    stag = jnp.asarray(np.where(np.arange(N) % 2 == 0, 1.0, -1.0), jnp.float64)
+    w = jnp.zeros((N, 10), jnp.float64).at[:, 0].set(c * stag)
+    params = {
+        "w": cplx.C(w, jnp.zeros_like(w)),
+        "a": cplx.C(asym * stag, jnp.zeros_like(stag)),
+        "b": cplx.C(jnp.zeros((10,), jnp.float64), jnp.zeros((10,), jnp.float64)),
+    }
+    return m, params
+
+
+def test_renyi2_increment_z2q_rescues_frozen_sector():
+    """On a deep-ordered asymmetric cat with both replicas frozen in one
+    Neel sector, the plain increment chain reads S2 ~ 0 (every glued ratio
+    is exactly 1 when s1 == s2), while the Z2 orbit quadrature recovers the
+    exact cat entropy analytically from the frozen chains - the in-chain
+    version of the sector rescue that swap_base_z2 provides for the hybrid
+    base (RESULTS.md 6e)."""
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _cat_machine()
+    s2_exact = _exact_s2(_psi_vector(m1, p1), 3)
+    assert s2_exact > 0.3  # the asymmetric-cat entropy is far from 0
+    neel = np.where(np.arange(N) % 2 == 0, 1.0, -1.0)
+    kwargs = dict(n_iterations=60, n_sweeps=2, n_warmup=100,
+                  walkers_per_level=512, key=7, init_spins=(neel, neel))
+    plain, _, _ = renyi2_increment(m1, p1, 3, **kwargs)
+    rb, rb_err, _ = renyi2_increment(m1, p1, 3, z2_quadrature=True, **kwargs)
+    assert abs(plain - s2_exact) > 0.1, (plain, s2_exact)  # frozen bias
+    assert abs(rb - s2_exact) < max(5 * rb_err, 0.05), (rb, s2_exact, rb_err)
+
+
 def test_swap_base_z2_vs_exact():
     """Z2-orbit-quadrature swap base agrees with exact Tr rho_A^2 (l=1, 3)."""
     from neural_network_quantum_state_tpu.measurements.renyi_increment import swap_base_z2
