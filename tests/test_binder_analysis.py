@@ -286,3 +286,30 @@ def test_central_charge_fit_roundtrip(tmp_path):
     assert len(inc) == 31 and len(prof) == 31
     res = fit_c(inc, n_sites, lmin=4)
     assert abs(res["c"] - c) < 5 * res["c_err"] + 0.01, res
+
+
+def test_exact_s2_profile():
+    """scripts/central_charge_exact.exact_s2_profile: Bell pair gives
+    S2 = ln 2; a product state gives 0; a random state matches the
+    reduced-density-matrix oracle at every cut."""
+    import numpy as np
+
+    from scripts.central_charge_exact import exact_s2_profile
+
+    bell = np.zeros(4)
+    bell[0] = bell[3] = 1 / np.sqrt(2)
+    np.testing.assert_allclose(exact_s2_profile(bell, 2), [np.log(2)], atol=1e-12)
+
+    prod = np.kron([1.0, 0.0], np.kron([0.6, 0.8], [0.0, 1.0]))
+    np.testing.assert_allclose(exact_s2_profile(prod, 3), 0.0, atol=1e-12)
+
+    rng = np.random.default_rng(3)
+    n = 6
+    psi = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+    psi /= np.linalg.norm(psi)
+    prof = exact_s2_profile(psi, n)
+    for l in range(1, n):
+        mat = psi.reshape(2 ** (n - l), 2**l)
+        rho = mat.T @ mat.conj()
+        want = -np.log(np.real(np.trace(rho @ rho)))
+        np.testing.assert_allclose(prof[l - 1], want, atol=1e-10)
