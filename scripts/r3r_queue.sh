@@ -27,12 +27,19 @@ time_left() { [ "$(date -u +%s)" -lt "$(cutoff_epoch)" ]; }
 echo "#### [r3r-1] TPU verify drive ####"
 timeout 900 python scripts/drive_vmc.py tpu || echo "verify drive FAILED"
 
-echo "#### [r3r-2] bench sanity ####"
+echo "#### [r3r-2] SR solver A/B at the flagship shape (cg vs dense) ####"
+if time_left; then
+  timeout 2400 python scripts/bench_sr_solver_ab.py \
+    > logs/bench_sr_solver_ab.log 2>&1 \
+    && cat logs/bench_sr_solver_ab.log || echo "solver A/B FAILED (see log)"
+fi
+
+echo "#### [r3r-3] bench sanity ####"
 if time_left; then
   timeout 2400 python bench.py || echo "bench FAILED"
 fi
 
-echo "#### [r3r-3] z2q on-chip validation: pure chain vs hybrid (N=64 theta=1.57) ####"
+echo "#### [r3r-4] z2q on-chip validation: pure chain vs hybrid (N=64 theta=1.57) ####"
 if time_left; then
   timeout 4500 python -m neural_network_quantum_state_tpu.drivers.measure \
     -what=renyi_inc -ansatz=rbmtrsymm -L=64 -nf=4 -ns=256 \
