@@ -488,3 +488,7 @@ def test_measure_renyi_increment_mode(tmp_path):
     s2_inc, err = measure.main(common + ["-what=renyi_inc", "-ns=512", "-niter=40", "-seed=6", "-mchunk=16"])
     assert np.isfinite(s2_inc) and err < 0.2
     assert abs(s2_inc - s2_swap) < 0.1, (s2_inc, s2_swap)
+    # -z2q=1 (in-chain Z2 orbit quadrature) through the CLI: same answer
+    s2_q, err_q = measure.main(common + ["-what=renyi_inc", "-z2q=1", "-ns=512", "-niter=40", "-seed=8"])
+    assert np.isfinite(s2_q) and err_q < 0.2
+    assert abs(s2_q - s2_swap) < 0.1, (s2_q, s2_swap)
