@@ -140,12 +140,14 @@ def main() -> None:
 
     # Calabrese-Cardy fit overlay for the near-critical profile
     th_fit = 0.9
+    c_vmc = None
     sec = series.get(th_fit)
     if sec and len(sec["inc"]) >= 6:
         lmin = 4
         try:
             res = fit_c(sec["inc"], n, lmin)
             c_fit, c_err, chi2dof = res["c"], res["c_err"], res["chi2_dof"]
+            c_vmc = (c_fit, c_err)
             x = lambda l: math.log((n / math.pi) * math.sin(math.pi * l / n))
             # anchor the constant on the measured profile over the fit window
             ls = [l for l in sec["prof"] if l >= lmin]
@@ -168,6 +170,42 @@ def main() -> None:
                  "(increment estimator)", fontsize=10, color=INK, loc="left")
     ax.set_xlim(0, n // 2 + 5.5)
     ax.legend(fontsize=7, frameon=False, loc="upper left", labelcolor=INK2)
+
+    # central-charge inset: exact ED ladder c(N) at theta=0.9
+    # (scripts/central_charge_exact.py) + the VMC N=64 fit above
+    exact_json = os.path.join(LOGS, "central_charge_exact_T09.json")
+    if os.path.exists(exact_json):
+        import json as _json
+
+        ed = _json.load(open(exact_json))["sizes"]
+        ns = sorted(int(k) for k in ed)
+        axi = ax.inset_axes([0.585, 0.1, 0.385, 0.31])
+        axi.set_facecolor(SURFACE)
+        for side in ("top", "right"):
+            axi.spines[side].set_visible(False)
+        for side in ("left", "bottom"):
+            axi.spines[side].set_color(GRID)
+        axi.tick_params(colors=INK2, labelsize=6)
+        axi.grid(True, color=GRID, linewidth=0.5)
+        axi.set_axisbelow(True)
+        axi.plot([1.0 / v for v in ns], [ed[str(v)]["c"] for v in ns],
+                 color=ORDINAL[3], lw=1.2, marker="o", ms=2.8,
+                 mfc=ORDINAL[3], mec=SURFACE, mew=0.5, zorder=3)
+        if c_vmc is not None:
+            axi.errorbar([1.0 / n], [c_vmc[0]], yerr=[c_vmc[1]],
+                         color="#eb6834", marker="D", ms=3.4, mec=SURFACE,
+                         mew=0.5, elinewidth=0.9, capsize=0, zorder=4)
+            axi.annotate("VMC N=64", xy=(1.0 / n, c_vmc[0]), xytext=(3, -8),
+                         textcoords="offset points", fontsize=5.8,
+                         color="#eb6834")
+        axi.axhline(0.5, color=INK2, lw=0.7, ls=":", zorder=1)
+        axi.annotate(r"Ising $c=\frac{1}{2}$", xy=(0.002, 0.503),
+                     fontsize=5.8, color=INK2)
+        axi.set_xlabel(r"$1/N$", fontsize=6.5, color=INK2, labelpad=1)
+        axi.set_title(r"central charge at $\theta=0.9$ (ED + VMC)",
+                      fontsize=6.5, color=INK2)
+        axi.set_xlim(0, 1.0 / min(ns) + 0.01)
+
     fig.tight_layout()
     os.makedirs(os.path.dirname(out_png), exist_ok=True)
     fig.savefig(out_png, facecolor=SURFACE)
