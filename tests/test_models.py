@@ -121,6 +121,32 @@ def test_translation_invariance(machine):
 @pytest.mark.parametrize(
     "machine",
     [
+        RBMTrSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
+        FFNNTrSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
+        RBMSfSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
+        FFNNSfSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
+        RBMZ2PrSymm(n_inputs=N, alpha=3, dtype=jnp.float64),
+    ],
+    ids=["RBMTrSymm", "FFNNTrSymm", "RBMSfSymm", "FFNNSfSymm", "RBMZ2PrSymm"],
+)
+def test_neel_sector_amplitudes_equal(machine):
+    """Symmetric ansatze carry EXACTLY equal amplitude on the two Neel
+    configurations: Neel- is the one-site translation of Neel+ (and also
+    its global flip), so translation- or flip-symmetric machines cannot
+    represent an asymmetric Neel cat. This is the structural fact behind
+    RESULTS.md 6h (the deep-ordered S2 = ln 2 resolution)."""
+    params, work, *_ = setup(machine)
+    neel = jnp.tile(jnp.array([1.0, -1.0], jnp.float64), N // 2)[None, :]
+    _, ln_plus = engine.full_forward(work, neel)
+    _, ln_minus = engine.full_forward(work, -neel)
+    np.testing.assert_allclose(
+        np.asarray(cplx.to_complex(ln_plus)), np.asarray(cplx.to_complex(ln_minus)), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize(
+    "machine",
+    [
         RBMSfSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
         FFNNSfSymm(n_inputs=N, alpha=2, dtype=jnp.float64),
         RBMZ2PrSymm(n_inputs=N, alpha=3, dtype=jnp.float64),
