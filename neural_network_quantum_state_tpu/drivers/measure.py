@@ -53,8 +53,11 @@ OPTIONS = [
     ("l", "renyi subregion size"),
     ("l0", "renyi_inc only: hybrid level offset - measure q_{l0} with the "
            "(tempered) swap estimator and the glued increment chain from "
-           "level l0 up; use -l0=1 -nbeta=4 -init=neel for deep-ordered "
-           "states (0 = pure increment chain from the empty region)"),
+           "level l0 up (0 = pure increment chain from the empty region). "
+           "For deep-ordered states on translation/flip-symmetric ansatze "
+           "prefer -l0=0 -z2q=1 (the swap base carries a residual bias "
+           "there - RESULTS.md 6h); the hybrid is for ansatze that can "
+           "freeze asymmetrically"),
     ("z2q", "renyi_inc only: in-chain Z2 orbit quadrature (1/0) - "
             "Rao-Blackwellize every increment level over global spin "
             "flips; exactly unbiased on deep-ordered cat-like states "
