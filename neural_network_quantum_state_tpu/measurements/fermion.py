@@ -41,14 +41,29 @@ class FermionAmplitudeSampler:
         per_flavor_rings: bool = True,
         mesh=None,
         use_fused: bool = False,
+        n_beta: int = 1,
     ):
         """mesh: optional ``jax.sharding.Mesh`` - the walker axis shards
         across it exactly like :class:`AmplitudeSampler`. The Kawasaki
         proposal is walker-local (each chain picks its own bond from its own
         spin state), so the exchange sweep needs no cross-device traffic;
-        only the estimator's mean lowers to a collective."""
+        only the estimator's mean lowers to a collective.
+
+        n_beta > 1 enables replica-exchange (parallel-tempered) exchange
+        sampling (kawasaki.tempered_exchange_sweeps): n_walkers total chains
+        = n_walkers/n_beta physical chains x n_beta tempered replicas,
+        replica-minor; ``spins``/``lnpsi``/estimators expose the beta=1
+        slice. Sector-preserving by construction (swaps exchange whole
+        in-sector configurations). Use for slow-mixing trapped/ordered
+        fermion states (RESULTS.md: the L=32 trap needed nwarm=5000 with
+        plain exchange). XLA path only (incompatible with use_fused)."""
         if machine.n_inputs % 2 != 0:
             raise ValueError("fermion machines need 2L inputs")
+        if n_beta > 1 and n_walkers % n_beta != 0:
+            raise ValueError("n_walkers must be a multiple of n_beta")
+        if n_beta > 1 and use_fused:
+            raise ValueError("use_fused does not implement tempered exchange (set n_beta=1)")
+        self.n_beta = n_beta
         self.machine = machine
         self.params = params
         self.work = machine.make_work(params)
@@ -83,6 +98,9 @@ class FermionAmplitudeSampler:
         kernel (per-walker pair choice as static MXU matmuls,
         ops.pallas_exchange) or the XLA scan."""
         work, bonds, nus = self.work, self.bonds, self.n_unit_steps
+        if self.n_beta > 1:
+            nb = self.n_beta
+            return lambda state: kawasaki.tempered_exchange_sweeps(work, state, bonds, n_sweeps, nus, nb)
         if self.use_fused:
             bonds_t = self._bonds_tuple
             if self.mesh is not None:
@@ -128,7 +146,7 @@ class FermionAmplitudeSampler:
 
         def body(state, _):
             state = adv(state)
-            return state, accum_fn(state.cache, state.lnpsi)
+            return state, accum_fn(self._beta1(state.cache), self._beta1(state.lnpsi))
 
         def make_runner(length):
             @jax.jit
@@ -154,13 +172,19 @@ class FermionAmplitudeSampler:
             pieces.append(jax.device_get(o))
         return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
 
+    def _beta1(self, tree):
+        """beta=1 replica slice of a per-walker pytree (replica-minor)."""
+        if self.n_beta == 1:
+            return tree
+        return jax.tree_util.tree_map(lambda x: x[:: self.n_beta], tree)
+
     @property
     def spins(self) -> jnp.ndarray:
-        return self.state.cache.spins
+        return self.state.cache.spins[:: self.n_beta]
 
     @property
     def lnpsi(self):
-        return self.state.lnpsi
+        return self._beta1(self.state.lnpsi)
 
 
 def opdm_pair(

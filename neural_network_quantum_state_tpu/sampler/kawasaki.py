@@ -64,7 +64,14 @@ def _select_active_bond(active: jnp.ndarray, u: jnp.ndarray) -> tuple[jnp.ndarra
     return bond, nb
 
 
-def _exchange_scan(work: Work, cache, lnpsi0, bonds: jnp.ndarray, uniforms_sel, uniforms_acc):
+def _exchange_scan(work: Work, cache, lnpsi0, bonds: jnp.ndarray, uniforms_sel, uniforms_acc, beta=None):
+    """beta: optional (K,) per-walker inverse temperatures for tempered
+    exchange acceptance |exp(beta*dlnpsi)|^2 (None = beta 1 everywhere).
+    Returns per-scalar or per-walker accept counts depending on ``beta``
+    (tempered callers aggregate per replica)."""
+    per_walker = beta is not None
+    k = lnpsi0.re.shape[0]
+
     def body(carry, xs):
         cache, lnpsi0, n_acc = carry
         u_sel, u_acc = xs
@@ -74,12 +81,20 @@ def _exchange_scan(work: Work, cache, lnpsi0, bonds: jnp.ndarray, uniforms_sel, 
         i, j = bonds[bond, 0], bonds[bond, 1]
         lnpsi1 = engine.flip2_log_psi_per_walker(work, cache, i, j)
         dln = lnpsi1.re - lnpsi0.re
-        accept = (u_acc < jnp.exp(2.0 * jnp.minimum(dln, 0.0))) & (nb > 0)
+        if beta is None:
+            accept = (u_acc < jnp.exp(2.0 * jnp.minimum(dln, 0.0))) & (nb > 0)
+        else:
+            # tempered accept prob = min(1, |exp(beta*dlnpsi)|^2), the
+            # replica-exchange rule of impl_mcmc_sampler.hpp:150 applied to
+            # the particle-conserving pair-exchange move class
+            accept = (u_acc < jnp.exp(2.0 * beta * jnp.minimum(dln, 0.0))) & (nb > 0)
         cache = engine.commit_flip2_per_walker(work, cache, i, j, accept)
         lnpsi0 = cplx.where(accept, lnpsi1, lnpsi0)
-        return (cache, lnpsi0, n_acc + jnp.sum(accept, dtype=jnp.float32)), None
+        acc_f = accept.astype(jnp.float32)
+        return (cache, lnpsi0, n_acc + (acc_f if per_walker else jnp.sum(acc_f))), None
 
-    init = (cache, lnpsi0, jnp.zeros((), jnp.float32))
+    init0 = jnp.zeros((k,) if per_walker else (), jnp.float32)
+    init = (cache, lnpsi0, init0)
     (cache, lnpsi0, n_acc), _ = jax.lax.scan(body, init, (uniforms_sel, uniforms_acc))
     return cache, lnpsi0, n_acc
 
@@ -192,3 +207,160 @@ def make_fused_exchange_sharded_sweeps(mesh, bonds_tuple: tuple, n_unit_steps: i
         )
 
     return sweeps_fn
+
+
+# ---------------------------------------------------------------------------
+# Parallel-tempered Kawasaki exchange (replica exchange for fermion samplers)
+# ---------------------------------------------------------------------------
+# Composition the reference never shipped: its PT machinery is spin-flip-only
+# and CPU-only (BaseParallelTemperingSampler, impl_mcmc_sampler.hpp:93-221)
+# while Kawasaki exchange is the Hubbard move class
+# (kawasaki_updater.hpp:24-152); trapped-Hubbard exchange dynamics were
+# measured to mix slowly (RESULTS.md: L=32 trap needed nwarm=5000), exactly
+# the regime PT exists for. Sector safety: the pair-exchange move conserves
+# particle numbers within every replica, and a replica swap exchanges WHOLE
+# configurations between replicas of the same physical chain, so per-flavor
+# particle numbers are conserved replica-by-replica by construction.
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "n_unit_steps", "n_beta"))
+def tempered_exchange_sweeps(
+    work: Work,
+    state: MCState,
+    bonds: jnp.ndarray,
+    n_sweeps: int,
+    n_unit_steps: int,
+    n_beta: int,
+) -> MCState:
+    """n_sweeps of (tempered exchange sweep + even swaps + odd swaps).
+
+    Replica-minor layout identical to tempering.tempering_sweeps (walker
+    w = k*nBeta + r); estimators read the beta=1 slice [::n_beta]. The swap
+    phases are shared with the spin-flip PT sampler - they act on the whole
+    (cache, lnpsi) pytrees and are move-class agnostic."""
+    from neural_network_quantum_state_tpu.sampler.tempering import _swap_phase, replica_betas
+
+    k_tot = state.lnpsi.re.shape[0]
+    assert k_tot % n_beta == 0
+    kb = k_tot // n_beta
+    rdt = state.cache.spins.dtype
+    beta = replica_betas(n_beta, kb, rdt)
+
+    def sweep_body(carry, sub):
+        cache, lnpsi, n_acc_tot = carry
+        k1, k2, k3, k4 = jax.random.split(sub, 4)
+        u_sel = jax.random.uniform(k1, (n_unit_steps, k_tot), rdt)
+        u_acc = jax.random.uniform(k2, (n_unit_steps, k_tot), rdt)
+        cache, lnpsi, n_acc = _exchange_scan(work, cache, lnpsi, bonds, u_sel, u_acc, beta=beta)
+        cache, lnpsi, _ = _swap_phase(cache, lnpsi, jax.random.uniform(k3, (k_tot,), rdt), 0, n_beta, kb)
+        cache, lnpsi, _ = _swap_phase(cache, lnpsi, jax.random.uniform(k4, (k_tot,), rdt), 1, n_beta, kb)
+        return (cache, lnpsi, n_acc_tot + jnp.sum(n_acc)), None
+
+    key, *subs = jax.random.split(state.key, n_sweeps + 1)
+    init = (state.cache, state.lnpsi, jnp.zeros((), jnp.float32))
+    (cache, lnpsi, n_acc_tot), _ = jax.lax.scan(sweep_body, init, jnp.stack(subs))
+    return MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=state.n_accepted + n_acc_tot,
+        n_proposed=state.n_proposed + jnp.float32(n_sweeps * n_unit_steps * k_tot),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "n_unit_steps", "n_beta"))
+def exchange_swap_acceptance_probe(
+    work: Work,
+    state: MCState,
+    bonds: jnp.ndarray,
+    n_sweeps: int,
+    n_unit_steps: int,
+    n_beta: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, MCState]:
+    """Exchange-move analog of tempering.swap_acceptance_probe: returns
+    (pair_swap_acceptance (n_beta-1,), exchange_acceptance_per_replica
+    (n_beta,), updated state) measured over n_sweeps tempered exchange
+    sweeps - the ladder diagnostics tune_n_beta needs, with the CORRECT
+    (particle-conserving) move class for fermion ensembles."""
+    from neural_network_quantum_state_tpu.sampler.tempering import _swap_phase, replica_betas
+
+    k_tot = state.lnpsi.re.shape[0]
+    assert k_tot % n_beta == 0
+    kb = k_tot // n_beta
+    rdt = state.cache.spins.dtype
+    beta = replica_betas(n_beta, kb, rdt)
+    r_id = jnp.arange(k_tot) % n_beta
+
+    def sweep_body(carry, sub):
+        cache, lnpsi, ex_acc, pair_acc = carry
+        k1, k2, k3, k4 = jax.random.split(sub, 4)
+        u_sel = jax.random.uniform(k1, (n_unit_steps, k_tot), rdt)
+        u_acc = jax.random.uniform(k2, (n_unit_steps, k_tot), rdt)
+        cache, lnpsi, n_acc = _exchange_scan(work, cache, lnpsi, bonds, u_sel, u_acc, beta=beta)
+        ex_acc = ex_acc.at[r_id].add(n_acc)
+        for parity, k in ((0, k3), (1, k4)):
+            cache, lnpsi, acc_lower = _swap_phase(
+                cache, lnpsi, jax.random.uniform(k, (k_tot,), rdt), parity, n_beta, kb
+            )
+            pair_acc = pair_acc.at[r_id].add(acc_lower.astype(jnp.float32))
+        return (cache, lnpsi, ex_acc, pair_acc), None
+
+    key, *subs = jax.random.split(state.key, n_sweeps + 1)
+    init = (
+        state.cache,
+        state.lnpsi,
+        jnp.zeros((n_beta,), jnp.float32),
+        jnp.zeros((n_beta,), jnp.float32),
+    )
+    (cache, lnpsi, ex_acc, pair_acc), _ = jax.lax.scan(sweep_body, init, jnp.stack(subs))
+    new_state = MCState(
+        cache=cache,
+        lnpsi=lnpsi,
+        key=key,
+        n_accepted=state.n_accepted + jnp.sum(ex_acc),
+        n_proposed=state.n_proposed + jnp.float32(n_sweeps * n_unit_steps * k_tot),
+    )
+    swap_rate = pair_acc[: n_beta - 1] / jnp.float32(n_sweeps * kb)
+    ex_rate = ex_acc / jnp.float32(n_sweeps * n_unit_steps * kb)
+    return swap_rate, ex_rate, new_state
+
+
+def tune_n_beta_exchange(
+    work: Work,
+    state: MCState,
+    bonds: jnp.ndarray,
+    n_unit_steps: int,
+    candidates: tuple[int, ...] = (2, 4, 6, 8, 12, 16),
+    target: float = 0.2,
+    mix_target: float = 0.1,
+    warm_sweeps: int = 50,
+    probe_sweeps: int = 25,
+    n_devices: int = 1,
+) -> tuple[int, dict[int, dict[str, list[float]]]]:
+    """Exchange-move analog of tempering.tune_n_beta: pick the smallest
+    replica count whose measured ladder works, probing with the
+    particle-conserving pair-exchange dynamics (a flip-based probe would
+    both break the sector and mis-measure fermion mixing). Criteria and
+    semantics identical: every adjacent-pair swap acceptance >= target and
+    the hottest replica's exchange acceptance >= mix_target."""
+    k_tot = int(state.lnpsi.re.shape[0])
+    diags: dict[int, dict[str, list[float]]] = {}
+    best = None
+    for nb in candidates:
+        if nb < 2 or k_tot % (nb * max(n_devices, 1)) != 0:
+            continue
+        st = tempered_exchange_sweeps(work, state, bonds, warm_sweeps, n_unit_steps, nb)
+        swap_rate, ex_rate, _ = exchange_swap_acceptance_probe(
+            work, st, bonds, probe_sweeps, n_unit_steps, nb
+        )
+        swap_l, ex_l = jax.device_get((swap_rate, ex_rate))
+        diags[nb] = {"swap": [float(a) for a in swap_l], "flip": [float(a) for a in ex_l]}
+        best = nb
+        if min(diags[nb]["swap"]) >= target and max(diags[nb]["flip"]) >= mix_target:
+            return nb, diags
+    if best is None:
+        raise ValueError(
+            f"no n_beta candidate in {candidates} divides n_walkers={k_tot} "
+            f"(x {n_devices} devices)"
+        )
+    return best, diags

@@ -210,10 +210,24 @@ class VMC:
                 )
         self.config = config
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":
-            if config.n_beta > 1:
-                raise NotImplementedError("parallel tempering + exchange sampler")
             bonds, n_unit = hamiltonian.bonds, hamiltonian.n_unit_steps
-            if config.use_fused_sweeps:
+            if config.n_beta > 1:
+                # tempered Kawasaki exchange (sector-preserving PT; XLA path
+                # only - the fused exchange kernel has no in-kernel ladder)
+                if config.use_fused_sweeps:
+                    raise ValueError(
+                        "use_fused_sweeps does not implement tempered exchange; "
+                        "set use_fused_sweeps=False with n_beta > 1"
+                    )
+
+                def sweep(work, state, n):
+                    from neural_network_quantum_state_tpu.sampler import kawasaki
+
+                    return kawasaki.tempered_exchange_sweeps(
+                        work, state, bonds, n, n_unit, config.n_beta
+                    )
+
+            elif config.use_fused_sweeps:
                 if jnp.dtype(machine.real_dtype) != jnp.float32:
                     raise ValueError("use_fused_sweeps requires a float32 machine")
                 bonds_tuple = tuple(map(tuple, np.asarray(bonds).tolist()))
@@ -557,8 +571,8 @@ class VMC:
         cfg = self.config
         if cfg.n_beta > 1 or cfg.collapse_escalate_nbeta < 0:
             return False  # already tempered / escalation disabled
-        if getattr(self.hamiltonian, "sampler_kind", "flip") == "exchange":
-            return False  # PT + exchange sampler not wired
+        if getattr(self.hamiltonian, "sampler_kind", "flip") == "exchange" and cfg.use_fused_sweeps:
+            return False  # fused exchange kernel has no tempered ladder
         n_dev = self._n_devices()
         if cfg.collapse_escalate_nbeta == 0:  # auto: any valid ladder size
             return any(cfg.n_walkers % (n_dev * nb) == 0 for nb in self._NBETA_CANDIDATES)
@@ -573,13 +587,23 @@ class VMC:
         cfg = self.config
         if cfg.collapse_escalate_nbeta > 1:
             return cfg.collapse_escalate_nbeta
-        from neural_network_quantum_state_tpu.sampler import tempering
-
         work = self.machine.make_work(params)
-        nb, diags = tempering.tune_n_beta(
-            work, state, self.schedule,
-            candidates=self._NBETA_CANDIDATES, n_devices=self._n_devices(),
-        )
+        if getattr(self.hamiltonian, "sampler_kind", "flip") == "exchange":
+            # probe with the sector-preserving exchange dynamics (a flip
+            # probe would break particle conservation)
+            from neural_network_quantum_state_tpu.sampler import kawasaki
+
+            nb, diags = kawasaki.tune_n_beta_exchange(
+                work, state, self.hamiltonian.bonds, self.hamiltonian.n_unit_steps,
+                candidates=self._NBETA_CANDIDATES, n_devices=self._n_devices(),
+            )
+        else:
+            from neural_network_quantum_state_tpu.sampler import tempering
+
+            nb, diags = tempering.tune_n_beta(
+                work, state, self.schedule,
+                candidates=self._NBETA_CANDIDATES, n_devices=self._n_devices(),
+            )
         for cand, d in diags.items():
             print(f"#   n_beta={cand}: swap/pair = "
                   + "/".join(f"{a:.2f}" for a in d["swap"])
