@@ -88,9 +88,12 @@ def init_glued(work: Work, s1: jnp.ndarray, s2: jnp.ndarray, mask: jnp.ndarray, 
                       jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
 
-def _propose(work: Work, cp, lnp, ca, lna, cb, lnb, in_reg, site, u):
+def _propose(work: Work, cp, lnp, ca, lna, cb, lnb, in_reg, site, u, beta=None):
     """One Metropolis proposal: flip `site` in the primary replica (cp) and
     in its glued partner - cache `ca` where in_reg, cache `cb` elsewhere.
+
+    ``beta``: optional (K,) per-walker inverse temperatures - the glued PT
+    ladder samples W_j^beta, so the tempered accept prob is min(1, e^{beta*d}).
 
     Returns the six updated (cache, lnpsi) plus the per-walker accept mask.
     """
@@ -99,6 +102,8 @@ def _propose(work: Work, cp, lnp, ca, lna, cb, lnb, in_reg, site, u):
     lnb1 = engine.flip_log_psi(work, cb, site)
     dglue = jnp.where(in_reg, lna1.re - lna.re, lnb1.re - lnb.re)
     d = (lnp1.re - lnp.re) + dglue
+    if beta is not None:
+        d = beta * d
     # first-power weight |psi1 psi2 psi3 psi4|: accept prob = min(1, e^d)
     accept = u < jnp.exp(jnp.minimum(d, 0.0))
     cp = engine.commit_flip(work, cp, site, accept)
@@ -110,30 +115,98 @@ def _propose(work: Work, cp, lnp, ca, lna, cb, lnb, in_reg, site, u):
     return cp, lnp, ca, lna, cb, lnb, accept
 
 
-@partial(jax.jit, static_argnames=("n_sweeps",))
-def glued_sweeps(work: Work, state: GluedState, schedule: jnp.ndarray, mask: jnp.ndarray, n_sweeps: int) -> GluedState:
+def _glued_swap_phase(caches, lns, u: jnp.ndarray, parity: int, n_beta: int):
+    """One PT swap phase for the glued ensemble: pairs (r, r+1) with
+    r = parity mod 2, replica-minor (walker w = c*nBeta + r - identical
+    partner geometry to tempering._swap_phase, which see).
+
+    The sampled weight is FIRST-power, W_j^beta with
+    ln W_j = Re(ln1 + ln2 + ln3 + ln4), so the swap accept prob is
+    exp(dbeta * (ln W_upper - ln W_lower)) with dbeta = 1/nBeta, and an
+    accepted swap exchanges the ENTIRE per-walker glued state (all four
+    caches + lnpsi's). Swap partners always share a level (callers enforce
+    walkers_per_level % n_beta == 0), so the per-walker region masks agree.
+    """
+    lnw = sum(ln.re for ln in lns)
+    k_tot = lnw.shape[0]
+    idx = jnp.arange(k_tot)
+    r = idx % n_beta
+    in_pair_lower = ((r - parity) % 2 == 0) & (r >= parity) & (r + 1 < n_beta)
+    in_pair_upper = ((r - parity) % 2 == 1) & (r > parity)
+    partner = jnp.where(in_pair_lower, idx + 1, jnp.where(in_pair_upper, idx - 1, idx))
+
+    dbeta = 1.0 / n_beta
+    dln = lnw[partner] - lnw
+    acc_lower = in_pair_lower & (u < jnp.minimum(jnp.exp(dbeta * dln), 1.0))
+    acc = acc_lower | acc_lower[partner]
+
+    def gather_leaf(x):
+        return jnp.where(acc.reshape((-1,) + (1,) * (x.ndim - 1)), x[partner], x)
+
+    caches = tuple(jax.tree_util.tree_map(gather_leaf, c) for c in caches)
+    lns = tuple(jax.tree_util.tree_map(gather_leaf, ln) for ln in lns)
+    return caches, lns, acc_lower
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "n_beta"))
+def glued_sweeps(work: Work, state: GluedState, schedule: jnp.ndarray, mask: jnp.ndarray,
+                 n_sweeps: int, n_beta: int = 1) -> GluedState:
     """Advance ``n_sweeps`` full sweeps; one sweep = len(schedule) sites x
-    two proposals (replica 1 then replica 2) per site."""
+    two proposals (replica 1 then replica 2) per site.
+
+    ``n_beta`` > 1 runs the glued PT ladder (replica-minor within each
+    level's walker block, beta_r = (nBeta - r)/nBeta): tempered proposals
+    sample W_j^beta and each sweep ends with even- then odd-pair whole-state
+    swaps. Estimators must then read the beta=1 slice ``[::n_beta]``."""
     key, sub = jax.random.split(state.key)
     n_steps = n_sweeps * schedule.shape[0]
     full_sched = jnp.tile(schedule, n_sweeps)
     k = state.ln1.re.shape[0]
-    uniforms = jax.random.uniform(sub, (n_steps, 2, k), state.c1.spins.dtype)
+    rdt = state.c1.spins.dtype
+    uniforms = jax.random.uniform(sub, (n_steps, 2, k), rdt)
+    if n_beta > 1:
+        assert k % n_beta == 0
+        from neural_network_quantum_state_tpu.sampler.tempering import replica_betas
 
-    def body(carry, xs):
+        beta = replica_betas(n_beta, k // n_beta, rdt)
+        key, sub_sw = jax.random.split(key)
+        swap_uniforms = jax.random.uniform(sub_sw, (n_sweeps, 2, k), rdt)
+    else:
+        beta = None
+        swap_uniforms = jnp.zeros((n_sweeps, 2, k), rdt)  # unused
+
+    def site_body(carry, xs):
         (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc) = carry
         site, u = xs
         in_reg = mask[:, site]
         # replica 1 lives on s3 inside A_j, on s4 outside
-        c1, ln1, c3, ln3, c4, ln4, a1 = _propose(work, c1, ln1, c3, ln3, c4, ln4, in_reg, site, u[0])
+        c1, ln1, c3, ln3, c4, ln4, a1 = _propose(work, c1, ln1, c3, ln3, c4, ln4, in_reg, site, u[0], beta)
         # replica 2 lives on s4 inside A_j, on s3 outside
-        c2, ln2, c4, ln4, c3, ln3, a2 = _propose(work, c2, ln2, c4, ln4, c3, ln3, in_reg, site, u[1])
+        c2, ln2, c4, ln4, c3, ln3, a2 = _propose(work, c2, ln2, c4, ln4, c3, ln3, in_reg, site, u[1], beta)
         n_acc = n_acc + jnp.sum(a1, dtype=jnp.float32) + jnp.sum(a2, dtype=jnp.float32)
         return (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc), None
 
     init = (state.c1, state.c2, state.c3, state.c4, state.ln1, state.ln2, state.ln3, state.ln4,
             jnp.zeros((), jnp.float32))
-    (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc), _ = jax.lax.scan(body, init, (full_sched, uniforms))
+    if n_beta == 1:
+        (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc), _ = jax.lax.scan(site_body, init, (full_sched, uniforms))
+    else:
+        n_site_steps = schedule.shape[0]
+
+        def sweep_body(carry, xs):
+            sched_u, u_sw = xs
+            carry, _ = jax.lax.scan(site_body, carry, sched_u)
+            (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc) = carry
+            caches, lns = (c1, c2, c3, c4), (ln1, ln2, ln3, ln4)
+            for parity in (0, 1):
+                caches, lns, _ = _glued_swap_phase(caches, lns, u_sw[parity], parity, n_beta)
+            return (*caches, *lns, n_acc), None
+
+        sched_per_sweep = full_sched.reshape(n_sweeps, n_site_steps)
+        unis_per_sweep = uniforms.reshape(n_sweeps, n_site_steps, 2, k)
+        (c1, c2, c3, c4, ln1, ln2, ln3, ln4, n_acc), _ = jax.lax.scan(
+            sweep_body, init, ((sched_per_sweep, unis_per_sweep), swap_uniforms)
+        )
     return GluedState(
         c1, c2, c3, c4, ln1, ln2, ln3, ln4, key,
         state.n_accepted + n_acc,
@@ -313,6 +386,8 @@ def renyi2_increment(
     level_offset: int = 0,
     init_spins=None,
     z2_quadrature: bool = False,
+    n_beta: int = 1,
+    mesh=None,
 ):
     """S2(A = [0, l)) - S2(A = [0, level_offset)) via the increment trick;
     returns (s2, err, per_level).
@@ -344,11 +419,25 @@ def renyi2_increment(
     on deep-ordered cat-like states (the in-chain alternative to the
     hybrid ``level_offset`` base). ~14 extra batched forwards per
     measurement step.
+
+    ``n_beta`` > 1: glued PT ladder (docs/BACKLOG item; replica-minor
+    within each level block) - walkers_per_level TOTAL chains per level of
+    which walkers_per_level/n_beta beta=1 chains feed the estimator; the
+    hot replicas sample W_j^beta and restore ergodicity on rough glued
+    landscapes exactly like the spin samplers' ladder.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` - the levels x walkers batch
+    is pure data parallelism, so the whole walker axis (all levels) shards
+    across it; the only cross-device traffic is the per-level means. All
+    glue geometry (masks, swap partners, beta=1 slices) is walker-local by
+    layout: each device shard must hold whole replica groups, enforced
+    below.
     """
     n = machine.n_inputs
     if not (0 <= level_offset < l < n):
         raise ValueError("need 0 <= level_offset < l < n")
-    work = machine.make_work(params)
+    if n_beta > 1 and walkers_per_level % n_beta != 0:
+        raise ValueError("walkers_per_level must be a multiple of n_beta")
     rdt = machine.real_dtype
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
@@ -357,7 +446,9 @@ def renyi2_increment(
     n_levels = l - level_offset
     k_total = n_levels * walkers_per_level
     # levels-major: walker k sits at level j = offset + k // walkers_per_level,
-    # sampling W_j with A_j = [0, j) and measuring the ratio q_{j+1}/q_j
+    # sampling W_j with A_j = [0, j) and measuring the ratio q_{j+1}/q_j;
+    # within a level block the n_beta replicas of a physical chain are
+    # adjacent (replica-minor), so PT swap partners are w +- 1
     level = jnp.repeat(jnp.arange(level_offset, l, dtype=jnp.int32), walkers_per_level)
     mask = jnp.arange(n, dtype=jnp.int32)[None, :] < level[:, None]  # (K, N)
     inc_site = level  # increment site of level j is site j
@@ -367,19 +458,46 @@ def renyi2_increment(
         s2 = random_spins(k2, k_total, n, rdt)
     else:
         s1, s2 = (jnp.broadcast_to(jnp.asarray(s, rdt), (k_total, n)) for s in init_spins)
+
+    if mesh is not None:
+        from neural_network_quantum_state_tpu.parallel import mesh as meshlib
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if k_total % n_dev != 0 or (k_total // n_dev) % n_beta != 0:
+            raise ValueError(
+                f"walker shards must hold whole replica groups: k_total={k_total} "
+                f"over {n_dev} devices with n_beta={n_beta}"
+            )
+        work = machine.make_work(meshlib.replicate_tree(params, mesh))
+        s1, s2, mask, level = meshlib.shard_walker_tree((s1, s2, mask, level), mesh, k_total)
+        inc_site = level
+    else:
+        work = machine.make_work(params)
     state = init_glued(work, s1, s2, mask, krun)
     schedule = jnp.arange(n, dtype=jnp.int32)
 
-    state = glued_sweeps(work, state, schedule, mask, n_warmup)
+    state = glued_sweeps(work, state, schedule, mask, n_warmup, n_beta)
+    kb_per_level = walkers_per_level // n_beta
 
     def body(st, _):
-        st = glued_sweeps(work, st, schedule, mask, n_sweeps)
-        if z2_quadrature:
-            num, den = _orbit_increment_observable(work, st, mask, inc_site)
+        st = glued_sweeps(work, st, schedule, mask, n_sweeps, n_beta)
+        if n_beta > 1:
+            # beta=1 readout slice (replica-minor): the hot replicas are
+            # auxiliary; observables (incl. the z2q orbit forwards) are
+            # only evaluated on the cold chains
+            b1 = lambda t: jax.tree_util.tree_map(lambda x: x[::n_beta], t)
+            st_obs = GluedState(b1(st.c1), b1(st.c2), b1(st.c3), b1(st.c4),
+                                b1(st.ln1), b1(st.ln2), b1(st.ln3), b1(st.ln4),
+                                st.key, st.n_accepted, st.n_proposed)
+            mask_o, inc_o = mask[::n_beta], inc_site[::n_beta]
         else:
-            num, den = _increment_observable(work, st, inc_site)
-        # per-level means over the walkers_per_level axis
-        per = lambda x: jnp.mean(x.reshape(n_levels, walkers_per_level), axis=1)
+            st_obs, mask_o, inc_o = st, mask, inc_site
+        if z2_quadrature:
+            num, den = _orbit_increment_observable(work, st_obs, mask_o, inc_o)
+        else:
+            num, den = _increment_observable(work, st_obs, inc_o)
+        # per-level means over the readout-walker axis
+        per = lambda x: jnp.mean(x.reshape(n_levels, kb_per_level), axis=1)
         return st, (per(num.re), per(num.im), per(den.re), per(den.im))
 
     def make_runner(length):

@@ -473,3 +473,71 @@ def test_swap_base_z2_vs_exact():
         s2 = AmplitudeSampler(m1, p1, n_walkers=1024, key=77 + l)
         got, err = swap_base_z2(s1, s2, l, n_iterations=40, n_sweeps=2, n_warmup=120)
         assert abs(got - want) < max(6 * err, 0.05), (l, got, want, err)
+
+
+def test_renyi2_increment_pt_ladder_vs_exact():
+    """n_beta > 1 (glued PT ladder): the beta=1 readout still estimates the
+    exact S2 - tempered proposals + whole-state swaps must not bias the
+    cold chains (verdict round-3 item 3, BACKLOG 'PT ladder for the glued
+    sampler')."""
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+
+    m1, p1 = _machine(2)
+    s2_exact = _exact_s2(_psi_vector(m1, p1), 3)
+    got, err, per_level = renyi2_increment(
+        m1, p1, 3, n_iterations=60, n_sweeps=2, n_warmup=150,
+        walkers_per_level=2048, key=13, n_beta=4,
+    )
+    assert per_level.shape == (3, 3)
+    assert abs(got - s2_exact) < max(5 * err, 0.05), (got, s2_exact, err)
+
+
+def test_glued_pt_sweeps_invariants():
+    """Tempered glued sweeps keep the glue invariant and exact ln caches on
+    EVERY replica, and whole-state swaps never mix walkers across levels."""
+    from neural_network_quantum_state_tpu.measurements import renyi_increment as ri
+    from neural_network_quantum_state_tpu.ops.rng import random_spins
+
+    m1, p1 = _machine(4)
+    work = m1.make_work(p1)
+    n_beta, k = 4, 32
+    kk = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(kk, 3)
+    level = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 8)  # 8 = 2 chains x 4 replicas
+    mask = jnp.arange(N, dtype=jnp.int32)[None, :] < level[:, None]
+    s1 = random_spins(k1, k, N, jnp.float64)
+    s2 = random_spins(k2, k, N, jnp.float64)
+    st = ri.init_glued(work, s1, s2, mask, k3)
+    st = ri.glued_sweeps(work, st, jnp.arange(N, dtype=jnp.int32), mask, 5, n_beta)
+    s1n, s2n = np.asarray(st.c1.spins), np.asarray(st.c2.spins)
+    np.testing.assert_array_equal(np.asarray(st.c3.spins), np.where(mask, s1n, s2n))
+    np.testing.assert_array_equal(np.asarray(st.c4.spins), np.where(mask, s2n, s1n))
+    for c, ln in ((st.c1, st.ln1), (st.c2, st.ln2), (st.c3, st.ln3), (st.c4, st.ln4)):
+        want = engine.log_psi(work, c.spins)
+        np.testing.assert_allclose(np.asarray(ln.re), np.asarray(want.re), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ln.im), np.asarray(want.im), atol=1e-9)
+    assert float(st.n_accepted) > 0
+
+
+def test_renyi2_increment_mesh_matches_single_device():
+    """mesh=8: the sharded levels x walkers batch reproduces the
+    single-device estimate to statistical error (same physics, different
+    RNG consumption order is NOT expected - the chains are identical given
+    the same key, so the match is exact up to reduction order)."""
+    from neural_network_quantum_state_tpu.measurements import renyi2_increment
+    from neural_network_quantum_state_tpu.parallel import make_mesh
+
+    m1, p1 = _machine(2)
+    kwargs = dict(n_iterations=25, n_sweeps=1, n_warmup=40,
+                  walkers_per_level=256, key=21)
+    s2_one, err_one, _ = renyi2_increment(m1, p1, 4, **kwargs)
+    s2_mesh, err_mesh, _ = renyi2_increment(m1, p1, 4, mesh=make_mesh(8), **kwargs)
+    # identical chains (same threefry streams) -> near-identical estimates
+    np.testing.assert_allclose(s2_mesh, s2_one, atol=1e-6)
+
+    # PT ladder + mesh compose (replica groups stay shard-local)
+    s2_pt, err_pt, _ = renyi2_increment(
+        m1, p1, 4, mesh=make_mesh(8), n_beta=2, **kwargs
+    )
+    s2_exact = _exact_s2(_psi_vector(m1, p1), 4)
+    assert abs(s2_pt - s2_exact) < max(6 * err_pt, 0.1), (s2_pt, s2_exact, err_pt)
