@@ -76,7 +76,9 @@ def hamiltonian_kwargs(model: str, l_sites: int, args, theta: float | None = Non
             centered = np.arange(l_sites) - (l_sites - 1.0) / 2.0
             kw.update(v=tuple(np.tile(trap * centered**2, 2)))
     elif model == "cb":
-        kw.update(h=args.find("h", float), j1=args.find("J", float))
+        # J1-J2 checkerboard couplings (-J maps to the reference's -J1;
+        # -J2 per CB-train_ffnn.cpp:24, default 0)
+        kw.update(h=args.find("h", float), j1=args.find("J", float), j2=args.find("J2", float))
     else:
         kw.update(h=args.find("h", float), j=args.find("J", float))
     return kw

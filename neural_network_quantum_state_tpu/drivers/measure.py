@@ -40,6 +40,7 @@ OPTIONS = [
     ("alpha", "energy+LICH: power-law decay exponent"),
     ("h", "energy, non-LICH: transverse field"),
     ("J", "energy, non-LICH: Ising coupling"),
+    ("J2", "energy+CB: J2 diagonal coupling"),
     ("U", "energy+hubbard: onsite interaction"),
     ("t", "energy+hubbard: hopping"),
     ("trap", "energy+hubbard: harmonic-trap strength V (V*(i-(L-1)/2)^2, 0 = off)"),
@@ -76,7 +77,9 @@ OPTIONS = [
     ("site", "opdm only: reference site n (rows OPDM(n, m) for m = 0..L-1-n)"),
     ("nbeta", "parallel-tempered estimator replicas (1 = off; 'auto' = pick "
               "from measured exchange acceptance; use for metastable "
-              "ordered/near-critical states - ns/nbeta chains read out)"),
+              "ordered/near-critical states - ns/nbeta chains read out; "
+              "fermion modes run the sector-preserving tempered Kawasaki "
+              "exchange ladder)"),
     ("mesh", "# of devices for walker-sharded estimation (0 = single device)"),
     ("fused", "use the fused Pallas sweep kernel (1/0; f32; with -nbeta the "
               "replica-exchange chain runs in-kernel)"),
@@ -87,6 +90,7 @@ DEFAULTS = {
     "alpha": "2",
     "h": "-1",
     "J": "-1",
+    "J2": "0",
     "U": "4",
     "t": "1",
     "trap": "0",
@@ -114,14 +118,11 @@ def main(argv=None):
     args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="measure")
     print(args.banner())
     what = args.find("what").lower()
-    if args.find("nbeta").lower() == "auto" and (
-        what in ("density", "opdm")
-        or (what == "energy" and args.find("model").lower() == "hubbard")
-    ):
-        # the auto probe runs single-spin-flip tempering, which leaves the
-        # fermion particle-number sector - its ladder diagnostics would be
-        # meaningless and FermionAmplitudeSampler takes no n_beta anyway
-        raise ValueError("-nbeta=auto: parallel tempering is not wired for the exchange sampler")
+    # fermion (particle-conserving exchange-sampler) modes get the
+    # sector-preserving tempered-exchange ladder instead of spin-flip PT
+    fermion_mode = what in ("density", "opdm") or (
+        what == "energy" and args.find("model").lower() == "hubbard"
+    )
     dtype = jnp.float32 if args.find("dtype") == "float32" else jnp.float64
     n, nf, ns = args.find("L", int), args.find("nf", int), args.find("ns", int)
     seed = args.find("seed", int)
@@ -145,7 +146,7 @@ def main(argv=None):
 
     use_fused = bool(args.find("fused", int))
 
-    if nbeta_raw == "auto":
+    if nbeta_raw == "auto" and not fermion_mode:
         # measured-acceptance ladder choice (tempering.tune_n_beta) on a
         # warmed single-device probe ensemble of this checkpoint
         from neural_network_quantum_state_tpu.sampler import tempering
@@ -160,6 +161,8 @@ def main(argv=None):
                   + "/".join(f"{a:.2f}" for a in d["swap"])
                   + "  flip/replica " + "/".join(f"{a:.2f}" for a in d["flip"]))
         print(f"# nbeta=auto -> n_beta={n_beta}")
+    elif nbeta_raw == "auto":
+        n_beta = 0  # sentinel: resolved by make_fermion_sampler's exchange probe
     else:
         n_beta = int(nbeta_raw)
 
@@ -168,6 +171,33 @@ def main(argv=None):
     def with_chunk(s):
         s.scan_chunk = mchunk
         return s
+
+    def make_fermion_sampler(key, n_up, n_down):
+        """Fermion sampler with -nbeta wired: int > 1 = tempered Kawasaki
+        exchange (kawasaki.tempered_exchange_sweeps, sector-preserving);
+        'auto' = measured-ladder choice with the exchange dynamics (a
+        spin-flip probe would leave the particle-number sector)."""
+        from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
+
+        nb = n_beta
+        if nb == 0:
+            from neural_network_quantum_state_tpu.sampler import kawasaki
+
+            probe = FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed + 13)
+            probe.warm_up(nwarm)
+            nb, diags = kawasaki.tune_n_beta_exchange(
+                probe.work, probe.state, probe.bonds, probe.n_unit_steps,
+                n_devices=max(n_mesh, 1),
+            )
+            for cand, d in sorted(diags.items()):
+                print(f"# nbeta=auto probe n_beta={cand}: swap/pair "
+                      + "/".join(f"{a:.2f}" for a in d["swap"])
+                      + "  exch/replica " + "/".join(f"{a:.2f}" for a in d["flip"]))
+            print(f"# nbeta=auto -> n_beta={nb}")
+        return with_chunk(FermionAmplitudeSampler(
+            machine, params, ns, n_up, n_down, key=key, n_beta=nb,
+            mesh=mesh, use_fused=use_fused,
+        ))
 
     def make_sampler(key):
         return with_chunk(AmplitudeSampler(
@@ -189,10 +219,8 @@ def main(argv=None):
         l_sites = n // 2 if model == "hubbard" else n
         ham = build_hamiltonian(model, n, **hamiltonian_kwargs(model, l_sites, args))
         if model == "hubbard":
-            from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler
-
             n_up, n_down = args.mfind("npar", int)
-            s1 = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
+            s1 = make_fermion_sampler(seed, n_up, n_down)
         else:
             s1 = make_sampler(seed)
         s1.warm_up(nwarm)
@@ -208,7 +236,10 @@ def main(argv=None):
         # increment-trick (glued-ensemble ratio) estimator: bias-free at
         # large l where the direct swap observable is heavy-tailed
         # (RESULTS.md 6c/6d). -ns = walkers PER LEVEL (levels run as one
-        # batch); -nbeta/-mesh apply only to the hybrid -l0 swap base.
+        # batch; with -nbeta, ns/nbeta beta=1 chains per level read out).
+        # -mesh shards the levels x walkers batch; -nbeta adds the glued
+        # PT ladder inside each level block (both also reach the hybrid
+        # -l0 swap base through make_sampler).
         from neural_network_quantum_state_tpu.measurements import renyi2_increment
 
         l_sub, l0 = args.find("l", int), args.find("l0", int)
@@ -232,6 +263,7 @@ def main(argv=None):
             walkers_per_level=ns, key=seed, chunk=mchunk,
             level_offset=l0, init_spins=inc_init,
             z2_quadrature=bool(args.find("z2q", int)),
+            n_beta=max(n_beta, 1), mesh=mesh,
         )
         # levels are INDEPENDENT chains, so the running sums give the whole
         # entanglement profile S2(l') for every l' <= l from this one
@@ -308,14 +340,11 @@ def main(argv=None):
         # pair OPDM row <b+_{n+m} b_n> on a particle-conserving fermion
         # state (MeasOPDM drivers, gpu meas.cuh:251-283); -L is 2L machine
         # inputs, the sector comes from -npar
-        from neural_network_quantum_state_tpu.measurements.fermion import (
-            FermionAmplitudeSampler,
-            opdm_pair,
-        )
+        from neural_network_quantum_state_tpu.measurements.fermion import opdm_pair
 
         n_up, n_down = args.mfind("npar", int)
         site = args.find("site", int)
-        fs = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
+        fs = make_fermion_sampler(seed, n_up, n_down)
         l = machine.n_inputs // 2
         row = [
             opdm_pair(fs, site, m, niter, nms, nwarm if m == 0 else 0)
@@ -330,13 +359,10 @@ def main(argv=None):
         # per-site occupations <n_i> of a particle-conserving fermion state
         # (the m = 0 OPDM diagonal for every site in one run - the trap
         # profile observable, fermi_hubbard_CH-train_rbm.cu:117-128)
-        from neural_network_quantum_state_tpu.measurements.fermion import (
-            FermionAmplitudeSampler,
-            density_profile,
-        )
+        from neural_network_quantum_state_tpu.measurements.fermion import density_profile
 
         n_up, n_down = args.mfind("npar", int)
-        fs = with_chunk(FermionAmplitudeSampler(machine, params, ns, n_up, n_down, key=seed, mesh=mesh, use_fused=use_fused))
+        fs = make_fermion_sampler(seed, n_up, n_down)
         occ = density_profile(fs, niter, nms, nwarm)
         l = machine.n_inputs // 2
         np.savetxt(args.find("prefix") + ".density.dat", np.c_[occ[:l], occ[l:]])

@@ -46,6 +46,10 @@ OPTIONS = [
     ("alpha", "LICH only: power-law decay exponent (comma list)"),
     ("h", "transverse field (non-LICH spin models)"),
     ("J", "Ising coupling (non-LICH spin models)"),
+    ("J2", "CB only: J2 diagonal coupling (reference CB-train_ffnn.cpp:24)"),
+    ("na", "dense-SR only: # of sampling rounds to accumulate S/F per "
+           "iteration (reference naccumulation, CB-train_ffnn.cpp:33; "
+           "requires -solver=lu|cholesky|svd)"),
     ("U", "hubbard only: onsite interaction"),
     ("t", "hubbard only: hopping"),
     ("npar", "hubbard only: n_up,n_down"),
@@ -87,6 +91,8 @@ DEFAULTS = {
     "alpha": "2",
     "h": "-1",
     "J": "-1",
+    "J2": "0",
+    "na": "1",
     "U": "4",
     "t": "1",
     "npar": "1,1",
@@ -145,11 +151,10 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         jax.config.update("jax_enable_x64", True)
     nbeta_raw = args.find("nbeta").lower()
     auto_nbeta = nbeta_raw == "auto"
-    if auto_nbeta and getattr(ham, "sampler_kind", "flip") == "exchange":
-        raise ValueError("-nbeta=auto: parallel tempering is not wired for the exchange sampler")
     cfg = nqs.VMCConfig(
         n_walkers=args.find("ns", int),
         n_sweeps_per_step=args.find("nms", int),
+        n_accumulations=args.find("na", int),
         learning_rate=args.find("lr", float),
         solver=args.find("solver"),
         rsd_cutoff=args.find("rsd", float),
@@ -208,12 +213,20 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         # replica-minor groups and the tempered sweep takes over
         import dataclasses
 
-        from neural_network_quantum_state_tpu.sampler import tempering
-
         n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
-        nb, diags = tempering.tune_n_beta(
-            machine.make_work(params), state, vmc.schedule, n_devices=n_dev
-        )
+        if getattr(ham, "sampler_kind", "flip") == "exchange":
+            # sector-preserving tempered-exchange probe (kawasaki)
+            from neural_network_quantum_state_tpu.sampler import kawasaki
+
+            nb, diags = kawasaki.tune_n_beta_exchange(
+                machine.make_work(params), state, ham.bonds, ham.n_unit_steps, n_devices=n_dev
+            )
+        else:
+            from neural_network_quantum_state_tpu.sampler import tempering
+
+            nb, diags = tempering.tune_n_beta(
+                machine.make_work(params), state, vmc.schedule, n_devices=n_dev
+            )
         for cand, d in sorted(diags.items()):
             print(f"# nbeta=auto probe n_beta={cand}: swap/pair "
                   + "/".join(f"{a:.2f}" for a in d["swap"])
