@@ -97,7 +97,9 @@ def _swap_phase(cache, lnpsi: C, u: jnp.ndarray, parity: int, n_beta: int, kb: i
 @partial(jax.jit, static_argnames=("n_sweeps", "n_beta"))
 def tempering_sweeps(work: Work, state: MCState, schedule: jnp.ndarray, n_sweeps: int, n_beta: int) -> MCState:
     """n_sweeps of (flip sweep + even swaps + odd swaps); walker count must
-    be a multiple of n_beta (replica-major layout)."""
+    be a multiple of n_beta (replica-minor layout: walker k holds physical
+    chain k // n_beta, replica k % n_beta - see the module header; the
+    estimator-side beta=1 slice is ``[::n_beta]``)."""
     k_tot = state.lnpsi.re.shape[0]
     assert k_tot % n_beta == 0
     kb = k_tot // n_beta
