@@ -243,6 +243,7 @@ def test_sharded_fused_nbeta3_large_shard_block_sizing():
     assert float(st.n_accepted) > 0
 
 
+@pytest.mark.slow
 def test_vmc_2d_multislice_mesh_matches_1d():
     """Multi-slice (slice x walkers) 2D mesh: the full training step with
     the walker axis sharded over BOTH mesh axes must produce the same

@@ -138,6 +138,7 @@ def test_solve_dtype_light_mode_casts_only():
     assert s64.energy.re.dtype == jnp.float64
 
 
+@pytest.mark.slow
 def test_mixed_precision_reaches_2e4_rel_err():
     """CI precision net (round-2 verdict item 8): a fixed-seed mixed-precision
     run (f32 machine/sampling + f64 solve & estimators - the on-chip recipe

@@ -7,6 +7,7 @@ tests pin that construction against the XLA-scan sampler's semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neural_network_quantum_state_tpu as nqs
 from neural_network_quantum_state_tpu.hamiltonians import HubbardChain
@@ -117,6 +118,7 @@ def test_fused_exchange_sweeps_wrapper_counts():
     )
 
 
+@pytest.mark.slow
 def test_hubbard_vmc_fused_exchange_converges():
     """End-to-end VMC with use_fused_sweeps through the exchange branch
     (f32 machine, interpreted kernel) reaches the sector ground state."""
@@ -155,6 +157,7 @@ def _train_hubbard(mesh, fused, seed=9, niter=200):
     return float(np.mean([h["energy"] for h in hist[-25:]]))
 
 
+@pytest.mark.slow
 def test_exchange_training_on_mesh_matches_single_device():
     """Round-2 verdict weak #2: exchange-sampler *training* under a walker
     mesh. Both the XLA-scan path (pjit-partitioned) and the fused-kernel
