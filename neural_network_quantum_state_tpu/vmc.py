@@ -172,8 +172,6 @@ class VMC:
         if config.n_accumulations > 1:
             if config.solver not in ("lu", "cholesky", "svd"):
                 raise ValueError("n_accumulations > 1 requires a dense solver (reference parity)")
-            if config.n_beta > 1:
-                raise NotImplementedError("accumulated dense SR + parallel tempering")
         for knob in (config.solve_dtype, config.energy_dtype):
             if knob is not None and jnp.dtype(knob) == jnp.float64 and not jax.config.jax_enable_x64:
                 raise ValueError(
@@ -467,7 +465,14 @@ class VMC:
                 samples = [(o_mat, htilda)]
                 for _ in range(cfg.n_accumulations - 1):
                     state = self._sweep(work, state, cfg.n_sweeps_per_step)
-                    ht_r, om_r = estimator_terms(params, state.cache, state.lnpsi)
+                    if cfg.n_beta > 1:
+                        # each accumulation round reads only its beta=1
+                        # replicas, like the first (replica-minor stride)
+                        ec = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.cache)
+                        el = jax.tree_util.tree_map(lambda x: x[:: cfg.n_beta], state.lnpsi)
+                    else:
+                        ec, el = state.cache, state.lnpsi
+                    ht_r, om_r = estimator_terms(params, ec, el)
                     samples.append((om_r, ht_r))
                 dx = sr_dense_solve_accumulated(samples, lam, dense_solvers.SOLVERS[cfg.solver])
                 havg, rsd = energy_and_rsd(cplx.concat([h for _, h in samples], axis=0))
