@@ -28,6 +28,43 @@ from neural_network_quantum_state_tpu.utils.exact import tfi_chain_exact_energy 
 BASELINE_SWEEPS_PER_SEC = 20_000.0
 BASELINE_REL_ERR = 1e-4  # BASELINE.json north-star precision bar
 
+# ---------------------------------------------------------------------------
+# Analytic FLOP model (round-3 verdict item 4: emit flops-based utilization
+# beside the throughput numbers so kernel regressions show up as a dropped
+# GFLOP/s, not only by diffing round JSONs).
+#
+# Fixed op-count CONVENTION - keep it stable across rounds so the numbers
+# stay comparable: every scalar arithmetic op = 1 FLOP, native VPU
+# transcendentals (exp/log/rsqrt) = 1, the in-kernel polynomial helpers at
+# their actual op counts (fast_cos ~18: degree-14 even minimax + range
+# reduction, ops/fastmath.py). Derivations (per walker, RBM family,
+# ops/pallas_sweep._sweep_kernel and ops/pallas_energy._energy_kernel):
+#
+#   sweep proposal, per site:  candidate y' = y - 2 s w  (2 planes)   4H
+#                              _logcosh_re (|cosh|^2 identity)       31H
+#                              c-weighted hidden reduction            2H
+#                              masked commit (y both planes, sa)      4H
+#                              -> 41 * H per proposal, N per sweep
+#   energy forward, per site:  candidate y'                           4H
+#                              magnitude plane (as above)            31H
+#                              phase via unit-product tree           12H
+#                              -> 47 * H per site, N sites per estimate
+#
+# Utilization is quoted against the v5e bf16 MXU peak (197 TFLOP/s) purely
+# as a fixed yardstick: these kernels are VPU-transcendental-bound by
+# design (the MXU has no role in a branchless masked sweep), so single-
+# digit percentages are the expected healthy value, not a deficiency -
+# what matters is that the number holds round over round.
+V5E_PEAK_FLOPS = 197e12
+
+
+def _sweep_flops(n_sites: int, h: int) -> float:
+    return 41.0 * n_sites * h  # per walker-sweep (N site proposals)
+
+
+def _energy_flops(n_sites: int, h: int) -> float:
+    return 47.0 * n_sites * h  # per walker local-energy estimate
+
 
 def bench_energy_rel_err():
     """Train N=16 TFI on-chip (f32 machine, f64 SR) and report the relative
@@ -131,6 +168,8 @@ def bench_sweep_throughput():
     dt = time.perf_counter() - t0
 
     sweeps_per_sec = k * n_sweeps_per_call * reps / dt
+    h = alpha * n
+    flops = sweeps_per_sec * _sweep_flops(n, h)
     print(
         json.dumps(
             {
@@ -138,6 +177,54 @@ def bench_sweep_throughput():
                 "value": round(sweeps_per_sec, 1),
                 "unit": "sweeps/s",
                 "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 3),
+                "gflops_analytic": round(flops / 1e9, 1),
+                "pct_v5e_bf16_peak": round(100.0 * flops / V5E_PEAK_FLOPS, 3),
+            }
+        )
+    )
+
+
+def bench_energy_kernel():
+    """Fused local-energy kernel (ops/pallas_energy.pallas_offdiag_sum)
+    latency + achieved FLOP/s at the flagship shape (N=64, H=256, K=8192) -
+    the per-estimate hot loop (N forwards, SURVEY.md 3.3 / reference
+    gpu impl_hamiltonians.cuh:234-238), isolated so a kernel regression is
+    visible directly rather than diluted into the full-iteration metric."""
+    import numpy as np
+
+    from neural_network_quantum_state_tpu.ops.pallas_energy import pallas_offdiag_sum
+
+    n, alpha, k = 64, 4, 8192
+    h = alpha * n
+    machine = RBMTrSymm(n_inputs=n, alpha=alpha, dtype=jnp.float32)
+    ham = LITFIChain(n_sites=n, h=-0.5, j=0.866, alpha=2.5, pbc=True)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    work = machine.make_work(params)
+    spins = ham.init_spins(jax.random.PRNGKey(1), k, jnp.float32)
+    state = metropolis.init_state(work, spins, jax.random.PRNGKey(2))
+    sites = np.arange(n, dtype=np.int32)
+
+    fn = jax.jit(lambda w, c, l: pallas_offdiag_sum(w, c, l, sites))
+    out = fn(work, state.cache, state.lnpsi)
+    float(out.re[0])  # force execution (remote-dispatch skew)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(work, state.cache, state.lnpsi)
+    float(out.re[0])
+    dt = time.perf_counter() - t0
+
+    ms_per_call = 1e3 * dt / reps
+    flops = k * reps * _energy_flops(n, h) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fused_local_energy_kernel_ms_N64_RBMTrSymm_a4_8192walkers",
+                "value": round(ms_per_call, 3),
+                "unit": "ms/call",
+                "vs_baseline": None,  # reference publishes no kernel timings
+                "gflops_analytic": round(flops / 1e9, 1),
+                "pct_v5e_bf16_peak": round(100.0 * flops / V5E_PEAK_FLOPS, 3),
             }
         )
     )
@@ -188,6 +275,7 @@ def bench_exchange_throughput():
 def main():
     bench_energy_rel_err()
     bench_sr_solves()
+    bench_energy_kernel()
     bench_exchange_throughput()
     bench_sweep_throughput()  # headline metric LAST (single-line parsers)
 
