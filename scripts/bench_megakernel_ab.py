@@ -63,8 +63,27 @@ def main():
         )
         return state._replace(cache=cache, lnpsi=lnpsi, key=key), off
 
+    # block_k=1024 variant: the auto-sizer halves the megakernel's walker
+    # block (energy-phase temporaries); if the full sweep-kernel block fits
+    # after all, measure it too
+    def mega_bk1024(state):
+        key, sub = jax.random.split(state.key)
+        seed = jax.random.randint(sub, (), 0, 2**31 - 1, jnp.int32)
+        cache, lnpsi, _acc, off = pallas_sweeps_offdiag(
+            work, state.cache, state.lnpsi, schedule, seed, N_SWEEPS, block_k=1024
+        )
+        return state._replace(cache=cache, lnpsi=lnpsi, key=key), off
+
+    arms = [("two_kernel", two_kernel), ("megakernel", mega)]
+    try:
+        s, off = mega_bk1024(state0)
+        float(off.re[0])
+        arms.append(("megakernel_bk1024", mega_bk1024))
+    except Exception as e:  # VMEM OOM expected at H=256
+        print(f"megakernel_bk1024 skipped: {type(e).__name__}")
+
     out = {}
-    for name, fn in (("two_kernel", two_kernel), ("megakernel", mega)):
+    for name, fn in arms:
         state, off = fn(state0)  # compile + warm
         float(off.re[0])
         t0 = time.perf_counter()
@@ -77,10 +96,9 @@ def main():
         print(f"{name}: {out[name]:.3f} ms per (sweep + offdiag) at "
               f"N={N} H={ALPHA * N} K={K}")
 
-    speedup = out["two_kernel"] / out["megakernel"]
-    print(json.dumps({"two_kernel_ms": round(out["two_kernel"], 3),
-                      "megakernel_ms": round(out["megakernel"], 3),
-                      "speedup": round(speedup, 4)}))
+    best = min(v for k, v in out.items() if k != "two_kernel")
+    print(json.dumps({**{k + "_ms": round(v, 3) for k, v in out.items()},
+                      "speedup_best": round(out["two_kernel"] / best, 4)}))
 
 
 if __name__ == "__main__":
