@@ -71,6 +71,29 @@ def trained_checkpoint(tmp_path_factory):
     return root, machine, params
 
 
+@pytest.fixture(scope="module")
+def second_checkpoint(trained_checkpoint):
+    """A second, genuinely different trained state (h=-0.9) saved under
+    meas_fidelity.py's other hardcoded path (hfields = ['-0.9', '-1.1'],
+    /root/reference/python/meas_fidelity.py:18)."""
+    import neural_network_quantum_state_tpu as nqs
+    from neural_network_quantum_state_tpu.hamiltonians import TFIChain
+    from neural_network_quantum_state_tpu.models import RBMTrSymm
+    from neural_network_quantum_state_tpu.utils.checkpoint import save_reference_text
+
+    root, _, _ = trained_checkpoint
+    n = 16
+    machine = RBMTrSymm(n_inputs=n, alpha=4, dtype=jnp.float32)
+    ham = TFIChain(n_sites=n, h=-0.9, j=-1.0)
+    cfg = nqs.VMCConfig(n_walkers=256, learning_rate=2e-2, solver="cg", seed=11)
+    vmc = nqs.VMC(machine, ham, cfg)
+    params, state = vmc.init()
+    state = vmc.warm_up(params, state, 150)
+    params, state, history, _ = vmc.run(params, state, 250)
+    save_reference_text(machine, params, str(root / "temp" / "build" / "RBMTrSymmCH-N16A4H-0.9V1"))
+    return machine, params
+
+
 def _exact_observables(machine, params):
     """Exact <|m|> and Renyi-2 S2(l=N/2) from the full wavefunction."""
     from neural_network_quantum_state_tpu.ops import cplx, engine
@@ -120,6 +143,41 @@ def test_meas_smag_verbatim(trained_checkpoint):
     # the script's 2-sigma bar assumes independent samples; allow slack for
     # MCMC autocorrelation on top of it
     assert abs(m_script - m_exact) < max(5 * m_err, 0.02), (m_script, m_err, m_exact)
+
+
+def _exact_fidelity(machine_a, params_a, machine_b, params_b):
+    """Exact |<psi_a|psi_b>| over the full N=16 Hilbert space."""
+    from neural_network_quantum_state_tpu.ops import cplx, engine
+    from neural_network_quantum_state_tpu.utils.exact import _spins_table
+
+    n = machine_a.n_inputs
+    spins = jnp.asarray(_spins_table(n), machine_a.real_dtype)
+    vecs = []
+    for machine, params in ((machine_a, params_a), (machine_b, params_b)):
+        lnpsi = cplx.to_numpy_complex(engine.log_psi(machine.make_work(params), spins))
+        lnpsi = lnpsi.astype(np.complex128)
+        psi = np.exp(lnpsi - lnpsi.real.max())
+        vecs.append(psi / np.linalg.norm(psi))
+    return float(abs(np.vdot(vecs[0], vecs[1])))
+
+
+@pytest.mark.slow
+def test_meas_fidelity_verbatim(trained_checkpoint, second_checkpoint):
+    """meas_fidelity.py runs unmodified: loads the h=-0.9 and h=-1.1
+    checkpoints (two PySampler-style instances), estimates
+    F = |<psi0|psi1>| via the two-replica cross ratios
+    (/root/reference/python/meas_fidelity.py:37-52), and must match the
+    exact full-Hilbert-space overlap of the same two trained states."""
+    root, machine_a, params_a = trained_checkpoint
+    machine_b, params_b = second_checkpoint
+    out = _run_script("meas_fidelity.py", str(root))
+    mt = re.search(r"fidelity : ([\d.E+-]+)\s+\+/- ([\d.E+-]+)", out)
+    assert mt, out[-500:]
+    f_script, f2_err = float(mt.group(1)), float(mt.group(2))
+    f_exact = _exact_fidelity(machine_a, params_a, machine_b, params_b)
+    # the script's error bar is on F^2; propagate to F (dF = dF2 / 2F)
+    f_err = f2_err / max(2.0 * f_script, 1e-6)
+    assert abs(f_script - f_exact) < max(5 * f_err, 0.02), (f_script, f_err, f_exact)
 
 
 @pytest.mark.slow
