@@ -58,7 +58,7 @@ def main() -> None:
     if "-out" in args:
         out = args[args.index("-out") + 1]
 
-    points, table = collect_points(verbose=False)
+    points, table, _brackets = collect_points(verbose=False)
     if not points:
         raise SystemExit("no pair crossings available yet")
     curves = ed_curves()

@@ -210,14 +210,32 @@ def ed_curves() -> dict:
     return out
 
 
+def pair_bracket(theta, u_small, u_big, e_small, e_big, direction=1):
+    """One-common-theta size-ordering bracket: no crossing can be
+    interpolated, but the sign of D = U_big - U_small at that theta still
+    localizes theta_c. For the Binder cumulant (direction=+1) U grows with
+    N in the ordered phase, so D < 0 => theta < theta_c (crossing above
+    theta) and D > 0 => theta_c below; the correlation ratio flips
+    (direction=-1). Returns (side, significance) with side in
+    {"above", "below"} meaning where theta_c sits relative to theta."""
+    d = (u_big - u_small) * direction
+    err = (e_small**2 + e_big**2) ** 0.5
+    side = "above" if d < 0 else "below"
+    return side, abs(d) / max(err, 1e-12)
+
+
 def collect_points(verbose: bool = True):
     """Assemble every fixed-pair crossing from ED fine grids + the VMC
     two-sided campaign table.
 
-    Returns (points, table) with points = [(n_small, n_big, tc, err,
-    source)] and table = the assembled VMC {(L, theta): {u, err, status}}.
+    Returns (points, table, brackets) with points = [(n_small, n_big, tc,
+    err, source)], table = the assembled VMC {(L, theta): {u, err,
+    status}}, and brackets = [(n_small, n_big, theta, side, nsigma,
+    source)] for pairs with exactly one common theta (the trimmed-session
+    N=128 points land here until a second theta is trained).
     """
     points = []  # (n_small, n_big, tc, err, source)
+    brackets = []  # (n_small, n_big, theta, side, nsigma, source)
 
     for ns, nb in ED_PAIRS:
         path = os.path.join(LOGS, f"binder_exact_fine_{ns}_{nb}.json")
@@ -252,15 +270,25 @@ def collect_points(verbose: bool = True):
         if ns not in sizes or nb not in sizes:
             continue
         common = sorted(t for t in {th for (l2, th) in table if l2 == ns} & {th for (l2, th) in table if l2 == nb})
-        if len(common) < 2:
+        if len(common) < 1:
             if verbose:
-                print(f"# note: VMC pair ({ns},{nb}): <2 common thetas")
+                print(f"# note: VMC pair ({ns},{nb}): no common thetas")
             continue
         ea = [table[(ns, t)]["err"] for t in common]
         eb = [table[(nb, t)]["err"] for t in common]
         # one-sided points have err=nan; treat as a loose 0.02 systematic
         ea = [0.02 if e != e else e for e in ea]
         eb = [0.02 if e != e else e for e in eb]
+        if len(common) == 1:
+            t = common[0]
+            side, nsig = pair_bracket(t, table[(ns, t)]["u"], table[(nb, t)]["u"], ea[0], eb[0])
+            brackets.append((ns, nb, t, side, nsig, "VMC"))
+            if verbose:
+                print(
+                    f"# note: VMC pair ({ns},{nb}): one common theta -> "
+                    f"bracket theta_c {side} {t} ({nsig:.1f} sigma)"
+                )
+            continue
         c = pair_crossing(
             common,
             [table[(ns, t)]["u"] for t in common],
@@ -270,7 +298,7 @@ def collect_points(verbose: bool = True):
         )
         if c:
             points.append((ns, nb, c[0], c[1], "VMC"))
-    return points, table
+    return points, table, brackets
 
 
 R_LOG_SIZES = [32, 64, 96, 128]
@@ -292,7 +320,9 @@ def parse_corrratio_log(path: str) -> dict[float, tuple[float, float]]:
     return out
 
 
-def vmc_corrratio_points(verbose: bool = True) -> list[tuple[int, int, float, float, str]]:
+def vmc_corrratio_points(
+    verbose: bool = True, with_brackets: bool = False
+) -> list[tuple[int, int, float, float, str]]:
     """Correlation-ratio pair crossings from the VMC measurement passes.
 
     R_N(theta) = S(pi + 2pi/N)/S(pi) crosses at theta_c exactly like the
@@ -308,13 +338,24 @@ def vmc_corrratio_points(verbose: bool = True) -> list[tuple[int, int, float, fl
             if len(d) >= 2:
                 tables[n] = d
     pts = []
+    brackets = []
     for ns, nb in VMC_PAIRS:
         if ns not in tables or nb not in tables:
             continue
         common = sorted(set(tables[ns]) & set(tables[nb]))
-        if len(common) < 2:
+        if len(common) < 1:
+            continue
+        if len(common) == 1:
+            t = common[0]
+            side, nsig = pair_bracket(
+                t, tables[ns][t][0], tables[nb][t][0], tables[ns][t][1], tables[nb][t][1], direction=-1
+            )
+            brackets.append((ns, nb, t, side, nsig, "VMC-R"))
             if verbose:
-                print(f"# note: corr-ratio VMC pair ({ns},{nb}): <2 common thetas")
+                print(
+                    f"# note: corr-ratio VMC pair ({ns},{nb}): one common theta -> "
+                    f"bracket theta_c {side} {t} ({nsig:.1f} sigma)"
+                )
             continue
         c = pair_crossing(
             common,
@@ -326,6 +367,8 @@ def vmc_corrratio_points(verbose: bool = True) -> list[tuple[int, int, float, fl
         )
         if c:
             pts.append((ns, nb, c[0], c[1], "VMC-R"))
+    if with_brackets:
+        return pts, brackets
     return pts
 
 
@@ -335,7 +378,7 @@ def main() -> None:
     if "-json" in args:
         json_out = args[args.index("-json") + 1]
 
-    points, _table = collect_points()
+    points, _table, u_brackets = collect_points()
     if not points:
         raise SystemExit("no pair crossings available yet")
 
@@ -369,7 +412,14 @@ def main() -> None:
     from scripts.corrratio_exact import analyze as r_analyze
 
     r_points = [(ns, nb, tc, err, "ED-R") for ns, nb, tc, err in r_analyze(R_PAIRS, verbose=False)]
-    r_points += vmc_corrratio_points()
+    r_vmc, r_brackets = vmc_corrratio_points(with_brackets=True)
+    r_points += r_vmc
+
+    all_brackets = u_brackets + r_brackets
+    if all_brackets:
+        print("\n# one-theta size-ordering brackets (pairs awaiting a second theta):")
+        for ns, nb, t, side, nsig, src in all_brackets:
+            print(f"#   ({ns},{nb}) [{src}]: theta_c {side} {t} ({nsig:.1f} sigma)")
     r_fit = None
     if r_points:
         print(f"\n{'pair':>10} {'theta_c':>9} {'+/-':>8}  source")
@@ -416,6 +466,17 @@ def main() -> None:
                         for ns, nb, tc, terr, _src in r_points
                     ],
                     "corrratio_fit": r_fit,
+                    "brackets": [
+                        {
+                            "n_small": ns,
+                            "n_big": nb,
+                            "theta": t,
+                            "theta_c_side": side,
+                            "nsigma": nsig,
+                            "source": src,
+                        }
+                        for ns, nb, t, side, nsig, src in all_brackets
+                    ],
                 },
                 f,
                 indent=1,

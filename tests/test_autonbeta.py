@@ -157,26 +157,33 @@ def test_measure_driver_nbeta_auto(tmp_path):
     assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0 and 0.0 <= m4 <= 1.0
 
 
-def test_measure_driver_nbeta_auto_rejects_fermion_modes(tmp_path):
-    """-nbeta=auto with an exchange-sampled mode (-what=density/opdm, or
-    -what=energy on Hubbard) must fail loudly: the single-spin-flip probe
-    leaves the particle-number sector, so its ladder diagnostics would be
-    meaningless (and FermionAmplitudeSampler takes no n_beta)."""
-    import pytest
+def test_measure_driver_nbeta_auto_fermion_exchange_probe(tmp_path, capsys):
+    """-nbeta=auto with an exchange-sampled mode (-what=density on Hubbard):
+    since round 4 this is SUPPORTED - the ladder is probed with the
+    sector-preserving tempered-exchange dynamics (kawasaki.
+    tune_n_beta_exchange), not the spin-flip probe, which would leave the
+    particle-number sector. Assert the probe runs, reports its choice, and
+    the tempered density estimate conserves the sector exactly."""
+    from neural_network_quantum_state_tpu.drivers import measure, train
 
-    from neural_network_quantum_state_tpu.drivers import measure
-
-    for what_args in (
-        ["-what=density", "-npar=1,1"],
-        ["-what=opdm", "-npar=1,1"],
-        ["-what=energy", "-model=hubbard", "-npar=1,1", "-U=4", "-t=1"],
-    ):
-        with pytest.raises(ValueError, match="exchange sampler"):
-            measure.main(
-                what_args
-                + [
-                    "-ansatz=rbm", "-L=6", "-nf=2", "-ns=64", "-prefix=unused",
-                    "-niter=2", "-nms=1", "-nwarm=2", "-dtype=float64",
-                    "-nbeta=auto",
-                ]
-            )
+    res = train.main(
+        [
+            "-model=hubbard", "-ansatz=rbm", "-L=3", "-nf=8", "-ns=64",
+            "-niter=10", "-nwarm=30", "-U=4", "-npar=1,1", "-dtype=float64",
+            f"-path={tmp_path}",
+        ]
+    )
+    prefix = res[0]["prefix"]
+    # the measure driver takes -L as the JW site count (2x physical L)
+    occ = measure.main(
+        [
+            "-what=density", "-npar=1,1", "-ansatz=rbm", "-L=6", "-nf=8",
+            "-ns=64", f"-prefix={prefix}", "-niter=4", "-nms=1", "-nwarm=10",
+            "-dtype=float64", "-nbeta=auto",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "# nbeta=auto -> n_beta=" in out
+    assert np.isfinite(occ).all()
+    # exchange dynamics never leave the (1 up, 1 down) sector
+    assert abs(float(occ.sum()) - 2.0) < 1e-9
