@@ -224,6 +224,25 @@ def pair_bracket(theta, u_small, u_big, e_small, e_big, direction=1):
     return side, abs(d) / max(err, 1e-12)
 
 
+def window_bracket(common, u_small, u_big, e_small, e_big, direction=1):
+    """No-sign-change window exclusion over >=2 common thetas: when
+    D = (U_big - U_small) * direction keeps one sign across the whole
+    scanned window no crossing can be interpolated, but theta_c is still
+    localized OUTSIDE the window - above max(theta) when D < 0 everywhere
+    (same sign convention as pair_bracket), below min(theta) when D > 0.
+    Returns (theta_edge, side, nsigma at that edge), or None on mixed
+    signs (a crossing exists; pair_crossing handles it)."""
+    ds = [(u_big[i] - u_small[i]) * direction for i in range(len(common))]
+    if all(d < 0 for d in ds):
+        i, side = len(common) - 1, "above"
+    elif all(d > 0 for d in ds):
+        i, side = 0, "below"
+    else:
+        return None
+    err = (e_small[i] ** 2 + e_big[i] ** 2) ** 0.5
+    return common[i], side, abs(ds[i]) / max(err, 1e-12)
+
+
 def collect_points(verbose: bool = True):
     """Assemble every fixed-pair crossing from ED fine grids + the VMC
     two-sided campaign table.
@@ -289,15 +308,21 @@ def collect_points(verbose: bool = True):
                     f"bracket theta_c {side} {t} ({nsig:.1f} sigma)"
                 )
             continue
-        c = pair_crossing(
-            common,
-            [table[(ns, t)]["u"] for t in common],
-            [table[(nb, t)]["u"] for t in common],
-            ea,
-            eb,
-        )
+        ua = [table[(ns, t)]["u"] for t in common]
+        ub = [table[(nb, t)]["u"] for t in common]
+        c = pair_crossing(common, ua, ub, ea, eb)
         if c:
             points.append((ns, nb, c[0], c[1], "VMC"))
+        else:
+            w = window_bracket(common, ua, ub, ea, eb)
+            if w:
+                t, side, nsig = w
+                brackets.append((ns, nb, t, side, nsig, "VMC"))
+                if verbose:
+                    print(
+                        f"# note: VMC pair ({ns},{nb}): no crossing in "
+                        f"[{common[0]}, {common[-1]}] -> theta_c {side} {t} ({nsig:.1f} sigma)"
+                    )
     return points, table, brackets
 
 
@@ -335,7 +360,9 @@ def vmc_corrratio_points(
         path = os.path.join(LOGS, f"corrratio_N{n}.log")
         if os.path.exists(path):
             d = parse_corrratio_log(path)
-            if len(d) >= 2:
+            # one theta is enough for a size-ordering bracket (the
+            # trimmed N=128 session measured only the window center)
+            if len(d) >= 1:
                 tables[n] = d
     pts = []
     brackets = []
@@ -357,16 +384,24 @@ def vmc_corrratio_points(
                     f"bracket theta_c {side} {t} ({nsig:.1f} sigma)"
                 )
             continue
-        c = pair_crossing(
-            common,
-            [tables[ns][t][0] for t in common],
-            [tables[nb][t][0] for t in common],
-            [tables[ns][t][1] for t in common],
-            [tables[nb][t][1] for t in common],
-            direction=-1,  # R falls with N in the ordered phase: D flips + -> -
-        )
+        ra = [tables[ns][t][0] for t in common]
+        rb = [tables[nb][t][0] for t in common]
+        rea = [tables[ns][t][1] for t in common]
+        reb = [tables[nb][t][1] for t in common]
+        # R falls with N in the ordered phase: D flips + -> -
+        c = pair_crossing(common, ra, rb, rea, reb, direction=-1)
         if c:
             pts.append((ns, nb, c[0], c[1], "VMC-R"))
+        else:
+            w = window_bracket(common, ra, rb, rea, reb, direction=-1)
+            if w:
+                t, side, nsig = w
+                brackets.append((ns, nb, t, side, nsig, "VMC-R"))
+                if verbose:
+                    print(
+                        f"# note: corr-ratio VMC pair ({ns},{nb}): no crossing in "
+                        f"[{common[0]}, {common[-1]}] -> theta_c {side} {t} ({nsig:.1f} sigma)"
+                    )
     if with_brackets:
         return pts, brackets
     return pts
@@ -417,7 +452,7 @@ def main() -> None:
 
     all_brackets = u_brackets + r_brackets
     if all_brackets:
-        print("\n# one-theta size-ordering brackets (pairs awaiting a second theta):")
+        print("\n# size-ordering brackets (one-theta pairs + no-crossing windows):")
         for ns, nb, t, side, nsig, src in all_brackets:
             print(f"#   ({ns},{nb}) [{src}]: theta_c {side} {t} ({nsig:.1f} sigma)")
     r_fit = None

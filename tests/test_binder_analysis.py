@@ -313,3 +313,38 @@ def test_exact_s2_profile():
         rho = mat.T @ mat.conj()
         want = -np.log(np.real(np.trace(rho @ rho)))
         np.testing.assert_allclose(prof[l - 1], want, atol=1e-10)
+
+
+def test_window_bracket_localizes_theta_c_outside_scanned_window():
+    """scripts/binder_fss_final.window_bracket: a pair whose size-ordering
+    never flips across the scanned thetas yields an exclusion bracket at
+    the constraining window edge (the trimmed N=128 session's case)."""
+    from scripts.binder_fss_final import window_bracket
+
+    # Binder (direction=+1): U_big < U_small everywhere -> disordered
+    # throughout the window -> theta_c above the TOP edge.
+    t, side, nsig = window_bracket(
+        [0.7, 0.9], [0.0245, 0.4659], [0.0145, 0.2391],
+        [0.02, 0.1216], [0.02, 0.2076],
+    )
+    assert (t, side) == (0.9, "above")
+    assert abs(nsig - abs(0.2391 - 0.4659) / (0.1216**2 + 0.2076**2) ** 0.5) < 1e-12
+
+    # Ordered throughout (U_big > U_small everywhere) -> theta_c below
+    # the BOTTOM edge.
+    t, side, _ = window_bracket(
+        [0.9, 1.1], [0.40, 0.60], [0.50, 0.66], [0.01, 0.01], [0.01, 0.01]
+    )
+    assert (t, side) == (0.9, "below")
+
+    # Correlation ratio flips the phase convention (direction=-1):
+    # R_big > R_small everywhere -> disordered -> theta_c above top edge.
+    t, side, _ = window_bracket(
+        [0.9], [0.0659], [0.6169], [0.0002], [0.3708], direction=-1
+    )
+    assert (t, side) == (0.9, "above")
+
+    # A sign change means a crossing exists: no bracket.
+    assert window_bracket(
+        [0.8, 1.0], [0.2, 0.6], [0.1, 0.7], [0.01, 0.01], [0.01, 0.01]
+    ) is None
