@@ -35,7 +35,7 @@ train_block() {
     if timeout 3000 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=$L -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
       -ns=8192 -niter=$NITER -nwarm=0 -lr=1e-2 -nbeta=$NBETA -fused=1 -blockmoves=1 \
-      -resume=RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER} -path=runs -nrec=2000 \
+      -rsd=0 -resume=RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER} -path=runs -nrec=2000 \
       -seed=$seed | tail -1; then return 0; fi
     echo "train attempt $attempt failed; sleeping 120s" >&2
     sleep 120
