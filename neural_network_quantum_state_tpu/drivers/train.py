@@ -25,6 +25,7 @@ from neural_network_quantum_state_tpu.drivers.common import (
     build_hamiltonian,
     build_machine,
     checkpoint_prefix,
+    enable_cli_logging,
     hamiltonian_kwargs,
 )
 from neural_network_quantum_state_tpu.utils.checkpoint import (
@@ -59,6 +60,11 @@ OPTIONS = [
     ("nms", "# of sweeps per SR iteration"),
     ("lr", "learning rate (deltaTau)"),
     ("rsd", "RSD convergence cutoff"),
+    ("cgmax", "iterative-solver (cg/minresqlp) iteration cap per SR solve; "
+     "the reference hard-codes 1000 (gpu impl_optimizer.cuh:60). Lower it "
+     "to bound anneal-block cost on ill-conditioned states (truncated CG "
+     "is still the Krylov-subspace energy minimizer, i.e. a descent "
+     "direction)"),
     ("solver", "cg | auto (cg->minresqlp fallback) | minresqlp | lu | cholesky | svd | sgd | minsr (KxK kernel-trick SR)"),
     ("solvedtype", "SR estimator/solve dtype: same | float64 (mixed-precision "
                    "SR: f32 sampling + f64 local energy/O_k/solve - the "
@@ -106,6 +112,7 @@ DEFAULTS = {
     "nms": "1",
     "lr": "1e-2",
     "rsd": "1e-3",
+    "cgmax": "1000",
     "solver": "cg",
     "solvedtype": "same",
     "mesh": "0",
@@ -162,6 +169,7 @@ def run_one(model, ansatz, l, nf, args, theta, alpha, ver, mesh_override=None) -
         n_accumulations=args.find("na", int),
         learning_rate=args.find("lr", float),
         solver=args.find("solver"),
+        cg_max_iters=args.find("cgmax", int),
         rsd_cutoff=args.find("rsd", float),
         n_beta=1 if auto_nbeta else int(nbeta_raw),
         steps_per_host_loop=args.find("mloop", int),
@@ -311,6 +319,7 @@ def _enable_compile_cache():
 
 
 def main(argv=None):
+    enable_cli_logging()
     _enable_compile_cache()
     args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="train")
     print(args.banner())

@@ -12,7 +12,7 @@ set -u -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=$1; T=$2; VER=$3; MAXEXT=${4:-3}; TOL=${5:-0.005}
-NITER=${6:-8000}; NBETA=${7:-4}
+NITER=${6:-8000}; NBETA=${7:-4}; CGMAX=${8:-1000}
 PREFIX=runs/RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER}
 
 measure_u() {
@@ -35,7 +35,7 @@ train_block() {
     if timeout 3000 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=$L -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
       -ns=8192 -niter=$NITER -nwarm=0 -lr=1e-2 -nbeta=$NBETA -fused=1 -blockmoves=1 \
-      -rsd=0 -resume=RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER} -path=runs -nrec=2000 \
+      -rsd=0 -cgmax=$CGMAX -resume=RBMTrSymmLICH-L${L}NF4A2.5T${T}V${VER} -path=runs -nrec=2000 \
       -seed=$seed | tail -1; then return 0; fi
     echo "train attempt $attempt failed; sleeping 120s" >&2
     sleep 120

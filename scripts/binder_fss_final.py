@@ -234,9 +234,12 @@ def window_bracket(common, u_small, u_big, e_small, e_big, direction=1):
     Returns (theta_edge, side, nsigma at that edge), or None on mixed
     signs (a crossing exists; pair_crossing handles it)."""
     ds = [(u_big[i] - u_small[i]) * direction for i in range(len(common))]
-    if all(d < 0 for d in ds):
+    # sign test tolerating exact ties (duplicate-valued readings give d = 0,
+    # which is consistent with EITHER one-sided ordering): the window keeps
+    # one sign when every non-zero d agrees and at least one is strict
+    if all(d <= 0 for d in ds) and any(d < 0 for d in ds):
         i, side = len(common) - 1, "above"
-    elif all(d > 0 for d in ds):
+    elif all(d >= 0 for d in ds) and any(d > 0 for d in ds):
         i, side = 0, "below"
     else:
         return None
@@ -347,15 +350,21 @@ def parse_corrratio_log(path: str) -> dict[float, tuple[float, float]]:
 
 
 def vmc_corrratio_points(
-    verbose: bool = True, with_brackets: bool = False
-) -> list[tuple[int, int, float, float, str]]:
+    verbose: bool = True,
+) -> tuple[
+    list[tuple[int, int, float, float, str]],
+    list[tuple[int, int, float, str, float, str]],
+]:
     """Correlation-ratio pair crossings from the VMC measurement passes.
 
     R_N(theta) = S(pi + 2pi/N)/S(pi) crosses at theta_c exactly like the
     Binder cumulant (it is the other standard dimensionless FSS
     observable), so the same interpolated sign-change scan applies. These
     extend the ED-R drift fit from the exact sizes (<= 24) to the NQS
-    sizes, entirely independent of the Binder moments."""
+    sizes, entirely independent of the Binder moments.
+
+    Returns (points, brackets) like collect_points: interpolated crossings
+    plus one-common-theta / no-sign-change size-ordering brackets."""
     tables: dict[int, dict[float, tuple[float, float]]] = {}
     for n in R_LOG_SIZES:
         path = os.path.join(LOGS, f"corrratio_N{n}.log")
@@ -403,9 +412,7 @@ def vmc_corrratio_points(
                         f"# note: corr-ratio VMC pair ({ns},{nb}): no crossing in "
                         f"[{common[0]}, {common[-1]}] -> theta_c {side} {t} ({nsig:.1f} sigma)"
                     )
-    if with_brackets:
-        return pts, brackets
-    return pts
+    return pts, brackets
 
 
 def main() -> None:
@@ -448,7 +455,7 @@ def main() -> None:
     from scripts.corrratio_exact import analyze as r_analyze
 
     r_points = [(ns, nb, tc, err, "ED-R") for ns, nb, tc, err in r_analyze(R_PAIRS, verbose=False)]
-    r_vmc, r_brackets = vmc_corrratio_points(with_brackets=True)
+    r_vmc, r_brackets = vmc_corrratio_points()
     r_points += r_vmc
 
     all_brackets = u_brackets + r_brackets

@@ -8,7 +8,14 @@
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+# fail fast when the queue pid file is missing/stale: silently skipping the
+# wait would start these measurements while the r4b queue still holds the
+# chip (the contention RESULTS.md blames for the 420s timeouts)
+[ -f /tmp/r4b.pid ] || { echo "ABORT: /tmp/r4b.pid missing - launch r4b first"; exit 1; }
 QPID=$(cat /tmp/r4b.pid)
+case "$QPID" in
+  ''|*[!0-9]*) echo "ABORT: /tmp/r4b.pid holds no numeric pid: '$QPID'"; exit 1 ;;
+esac
 while kill -0 "$QPID" 2>/dev/null; do sleep 20; done
 
 for T in 1.2 0.9 0.4; do

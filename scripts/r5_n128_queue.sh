@@ -37,34 +37,38 @@ train_anneal() { # THETA VER FROMPREFIX SEED NITER
     timeout 2700 python -m neural_network_quantum_state_tpu.drivers.train \
       -model=LICH -ansatz=rbmtrsymm -L=128 -nf=4 -theta=$T -alpha=2.5 -ver=$VER \
       -ns=8192 -niter=$NITER -nwarm=500 -lr=1e-2 -nbeta=4 -fused=1 -blockmoves=1 \
-      -rsd=0 -ifprefix=$FROM -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
+      -rsd=0 -cgmax=120 -ifprefix=$FROM -path=runs -nrec=2000 -seed=$SEED | tail -1 && return 0
     echo "train_anneal attempt $attempt failed; sleeping 60s" >&2
     sleep 60
   done
   return 1
 }
 
-CONV="bash scripts/binder_converge_bm.sh"  # L THETA VER MAXEXT TOL NITER
+CONV="bash scripts/binder_converge_bm.sh"  # L THETA VER MAXEXT TOL NITER NBETA CGMAX
+# cgmax=120: the T2->0.95 anneal hit cg_iters=517 (full Krylov, f64-emulated
+# matvecs -> 1.24 s/iter); the well-conditioned from-below arm runs ~100
+# iters naturally, so a 120 cap bounds block cost without changing the
+# converged-regime direction (truncated CG = Krylov minimizer).
 
 echo "#### [r5-A1] from-above V15: T2 V6 -> theta=0.95, 4000 iters, rsd=0 ####"
 time_left && train_anneal 0.95 15 RBMTrSymmLICH-L128NF4A2.5T2V6 90 4000
 echo "#### [r5-A2] converge from-above at 0.95 (1 ext x 3000) ####"
-time_left && $CONV 128 0.95 15 1 0.01 3000
+time_left && $CONV 128 0.95 15 1 0.01 3000 4 120
 
 echo "#### [r5-B1] from-below V14: T0.9 (8k-iter arm) -> theta=0.925, 4000 iters ####"
 time_left && train_anneal 0.925 14 RBMTrSymmLICH-L128NF4A2.5T0.9V14 91 4000
 echo "#### [r5-B2] converge from-below at 0.925 (2 ext x 3000) ####"
-time_left && $CONV 128 0.925 14 2 0.01 3000
+time_left && $CONV 128 0.925 14 2 0.01 3000 4 120
 
 echo "#### [r5-A3] from-above V15: 0.95 -> 0.925, 3000 iters ####"
 time_left && train_anneal 0.925 15 RBMTrSymmLICH-L128NF4A2.5T0.95V15 92 3000
 echo "#### [r5-A4] converge from-above at 0.925 (2 ext x 3000) ####"
-time_left && $CONV 128 0.925 15 2 0.01 3000
+time_left && $CONV 128 0.925 15 2 0.01 3000 4 120
 
 echo "#### [r5-B3] from-below V14: 0.925 -> 0.95, 3000 iters ####"
 time_left && train_anneal 0.95 14 RBMTrSymmLICH-L128NF4A2.5T0.925V14 93 3000
 echo "#### [r5-B4] converge from-below at 0.95 (1 ext x 3000) ####"
-time_left && $CONV 128 0.95 14 1 0.01 3000
+time_left && $CONV 128 0.95 14 1 0.01 3000 4 120
 
 echo "#### [r5-C] corr-ratio (independent observable) on all four landed arms ####"
 for T in 0.925 0.95; do
@@ -82,7 +86,7 @@ done
 echo "#### [r5-D] stretch: tighten theta=0.9 from-above (anneal 0.925 -> 0.9 + measure) ####"
 if time_left; then
   train_anneal 0.9 15 RBMTrSymmLICH-L128NF4A2.5T0.925V15 94 4000
-  $CONV 128 0.9 15 1 0.01 3000
+  $CONV 128 0.9 15 1 0.01 3000 4 120
 fi
 
 echo "#### R5 N128 QUEUE DONE ####"
