@@ -57,6 +57,85 @@ BASELINE_REL_ERR = 1e-4  # BASELINE.json north-star precision bar
 # what matters is that the number holds round over round.
 V5E_PEAK_FLOPS = 197e12
 
+# ---------------------------------------------------------------------------
+# VPU-transcendental roofline (round-4 verdict item 2: the MXU yardstick
+# above says nothing about whether these kernels sit at 10% or 90% of their
+# TRUE bound). The roofline is MEASURED, not modeled: each kernel's
+# per-(site, hidden)-element hot body - the exact transcendental mix of
+# ops/pallas_sweep._logcosh_re (exp + log + polynomial cos + ~10 mul/add)
+# resp. the ops/pallas_energy._energy_kernel site term (exp + log +
+# polynomial atan2 + angle-addition mul/adds) - is run as a pure dependent
+# elementwise chain on a large f32 array, giving the elements/s the VPU
+# sustains when it does NOTHING but that math. pct_vpu_roofline =
+# (elements the kernel actually processes per second) / (that rate); the
+# gap is everything else the kernel must do (candidate/commit moves, RNG,
+# reductions, Pallas grid overhead, VMEM traffic).
+
+
+def _vpu_chain_rate(chain_fn, n_elems: int = 1 << 22, chain_len: int = 32) -> float:
+    """elements/s of a dependent elementwise chain of chain_fn on the VPU."""
+    x = jnp.linspace(-3.0, 3.0, n_elems, dtype=jnp.float32)
+    y = jnp.linspace(-2.0, 2.0, n_elems, dtype=jnp.float32)
+
+    @jax.jit
+    def run(x, y):
+        def body(_, xy):
+            return chain_fn(*xy)
+
+        return jax.lax.fori_loop(0, chain_len, body, (x, y))
+
+    out = run(x, y)
+    float(out[0][0])  # force (remote-dispatch skew)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(x, y)
+    float(out[0][0])
+    dt = time.perf_counter() - t0
+    return n_elems * chain_len * reps / dt
+
+
+def _sweep_hot_body(x, y):
+    """Per-element hot math of the fused sweep kernel (pallas_sweep
+    ._sweep_kernel via _logcosh_re) as a dependent chain: candidate move +
+    |cosh|^2 magnitude plane + masked-commit-scale arithmetic."""
+    from neural_network_quantum_state_tpu.ops.pallas_sweep import _logcosh_re
+
+    x1 = x - 2.0 * 0.3 * y  # candidate y' = y - 2 s w
+    r = _logcosh_re(x1, y)  # exp + log + fast_cos(+~8 mul/add)
+    # keep the chain bounded and dependent (commit-mix arithmetic stand-in)
+    return 0.25 * r + 0.1 * x, 0.99 * y + 0.01 * x1
+
+
+def _energy_hot_body(x, y):
+    """Per-element hot math of the fused energy kernel's site term
+    (pallas_energy._energy_kernel): angle-addition rotation + |cosh|^2
+    magnitude + polynomial atan2 phase."""
+    from neural_network_quantum_state_tpu.ops.fastmath import fast_atan2
+
+    c2, s2 = 0.8253356149096783, 0.5646424733950354  # cos/sin(2w) consts
+    c1 = y * c2 + x * s2  # angle-addition (cy/sy stand-ins)
+    s1 = x * c2 - y * s2
+    x1 = x - 2.0 * 0.3 * y
+    absx = jnp.abs(x1)
+    sgn = jnp.where(x1 < 0, -1.0, 1.0).astype(x1.dtype)
+    e = jnp.exp(-2.0 * absx)
+    wre = (1.0 + e) * c1
+    wim = (1.0 - e) * s1 * sgn
+    lre = 0.5 * jnp.log(wre * wre + wim * wim) + (absx - 0.6931471805599453)
+    lim = fast_atan2(wim, wre)
+    return 0.2 * lre + 0.1 * x, 0.2 * lim + 0.9 * y
+
+
+_ROOFLINES: dict = {}
+
+
+def vpu_rooflines() -> dict:
+    if not _ROOFLINES:
+        _ROOFLINES["sweep_elems_per_sec"] = _vpu_chain_rate(_sweep_hot_body)
+        _ROOFLINES["energy_elems_per_sec"] = _vpu_chain_rate(_energy_hot_body)
+    return _ROOFLINES
+
 
 def _sweep_flops(n_sites: int, h: int) -> float:
     return 41.0 * n_sites * h  # per walker-sweep (N site proposals)
@@ -170,6 +249,9 @@ def bench_sweep_throughput():
     sweeps_per_sec = k * n_sweeps_per_call * reps / dt
     h = alpha * n
     flops = sweeps_per_sec * _sweep_flops(n, h)
+    # elements the kernel actually pushes through the logcosh hot body
+    # per second vs what the VPU sustains on that body alone
+    pct_vpu = 100.0 * sweeps_per_sec * n * h / vpu_rooflines()["sweep_elems_per_sec"]
     print(
         json.dumps(
             {
@@ -179,6 +261,7 @@ def bench_sweep_throughput():
                 "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 3),
                 "gflops_analytic": round(flops / 1e9, 1),
                 "pct_v5e_bf16_peak": round(100.0 * flops / V5E_PEAK_FLOPS, 3),
+                "pct_vpu_roofline": round(pct_vpu, 1),
             }
         )
     )
@@ -216,6 +299,9 @@ def bench_energy_kernel():
 
     ms_per_call = 1e3 * dt / reps
     flops = k * reps * _energy_flops(n, h) / dt
+    pct_vpu = (
+        100.0 * (k * n * h * reps / dt) / vpu_rooflines()["energy_elems_per_sec"]
+    )
     print(
         json.dumps(
             {
@@ -225,6 +311,7 @@ def bench_energy_kernel():
                 "vs_baseline": None,  # reference publishes no kernel timings
                 "gflops_analytic": round(flops / 1e9, 1),
                 "pct_v5e_bf16_peak": round(100.0 * flops / V5E_PEAK_FLOPS, 3),
+                "pct_vpu_roofline": round(pct_vpu, 1),
             }
         )
     )

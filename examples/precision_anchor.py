@@ -13,8 +13,10 @@ Stages (separate so the CPU ED and the TPU training run concurrently):
 
     python examples/precision_anchor.py ed 20          # CPU, exact E0
     python examples/precision_anchor.py ed 24          # CPU, chunked
+    python examples/precision_anchor.py ed_sector 28   # CPU, k=0-sector
+    python examples/precision_anchor.py ed_sector 30   #   Lanczos (~2^N/N)
     python examples/precision_anchor.py train 20       # TPU, VMC energy
-    python examples/precision_anchor.py train 24
+    python examples/precision_anchor.py train 24       #   (and 28 / 30)
     python examples/precision_anchor.py report         # rel errs vs 1e-4
 
 Each stage writes logs/precision_anchor_{ed,vmc}_N{n}.json.
@@ -85,6 +87,102 @@ def run_ed(n: int) -> float:
     return e0
 
 
+def run_ed_sector(n: int) -> float:
+    """Exact per-site ground energy by TRANSLATION-SECTOR (k=0) Lanczos -
+    the symmetry reduction that takes ED past the N=24 full-space ceiling
+    (round-4 verdict item 4: an independent anchor at N >= 28).
+
+    The LITFI chain (PBC, circular-distance J - reference
+    gpu/include/impl_hamiltonians.cuh:139-160) commutes with the
+    translation T, and its unique ground state (h != 0) is translation
+    symmetric, so it lives in the k=0 sector: dimension = #orbits
+    ~ 2^N/N (4.8M at N=28, 17.9M at N=30 - in-core sparse Lanczos).
+
+    Basis: one representative a = min over rotations of each orbit,
+    |a> = N_a^{-1/2} sum_{s in orbit(a)} |s> with N_a = orbit size
+    (= period of a under T). Matrix elements: the diagonal is orbit
+    invariant; for the transverse term H_x = h_n sum_i X_i,
+    <b|H_x|a> = h_n * sqrt(N_a/N_b) summed over the flips of the
+    representative a landing in orbit(b) (derivation: translation
+    covariance makes the flip-target count orbit-uniform). Hermiticity
+    holds because N_a * m_ab = N_b * m_ba counts the same flip pairs."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.linalg import LinearOperator, eigsh
+
+    t0 = time.time()
+    dim = 1 << n
+    mask = np.uint32(dim - 1)
+    hn = -math.cos(THETA) / n
+
+    # canonical (minimal-rotation) form of every state, chunked
+    canon = np.empty(dim, np.uint32)
+    for lo in range(0, dim, CHUNK):
+        hi = min(lo + CHUNK, dim)
+        x = np.arange(lo, hi, dtype=np.uint32)
+        c = x.copy()
+        r = x
+        for _ in range(n - 1):
+            r = ((r << np.uint32(1)) | (r >> np.uint32(n - 1))) & mask
+            np.minimum(c, r, out=c)
+        canon[lo:hi] = c
+    # representatives (sorted by construction) and orbit sizes via the
+    # smallest divisor d of n with T^d a = a
+    reps_parts = []
+    for lo in range(0, dim, CHUNK):
+        hi = min(lo + CHUNK, dim)
+        x = np.arange(lo, hi, dtype=np.uint32)
+        reps_parts.append(x[canon[lo:hi] == x])
+    reps = np.concatenate(reps_parts)
+    n_reps = reps.size
+    period = np.full(n_reps, n, np.int64)
+    for d in range(1, n):
+        if n % d != 0:
+            continue
+        rot = ((reps << np.uint32(d)) | (reps >> np.uint32(n - d))) & mask
+        hit = rot == reps
+        period[hit] = np.minimum(period[hit], d)
+    orb = period.astype(np.float64)  # orbit size = period under T
+
+    # diagonal (orbit-invariant): (0.5/n) s.J.s on the representative
+    jm = _j_matrix(n)
+    diag = np.empty(n_reps, np.float64)
+    for lo in range(0, n_reps, CHUNK):
+        hi = min(lo + CHUNK, n_reps)
+        bits = (reps[lo:hi, None].astype(np.int64) >> np.arange(n)[None, :]) & 1
+        s = (1.0 - 2.0 * bits).astype(np.float64)
+        diag[lo:hi] = (0.5 / n) * np.einsum("ki,ki->k", s @ jm, s)
+
+    # sparse transverse term: one (j, i) entry per (rep, flipped bit)
+    cols_parts, rows_parts, data_parts = [], [], []
+    i_idx = np.arange(n_reps, dtype=np.int64)
+    sq = np.sqrt(orb)
+    for b in range(n):
+        tgt = canon[reps ^ np.uint32(1 << b)]
+        j = np.searchsorted(reps, tgt).astype(np.int64)
+        rows_parts.append(j)
+        cols_parts.append(i_idx)
+        data_parts.append(hn * sq[i_idx] / sq[j])
+    hx = csr_matrix(
+        (np.concatenate(data_parts), (np.concatenate(rows_parts), np.concatenate(cols_parts))),
+        shape=(n_reps, n_reps),
+    )
+    del cols_parts, rows_parts, data_parts, canon
+
+    op = LinearOperator(
+        (n_reps, n_reps), matvec=lambda v: diag * v + hx @ v, dtype=np.float64
+    )
+    w = eigsh(op, k=1, which="SA", tol=1e-10, return_eigenvectors=False)
+    e0 = float(w[0])
+    out = {"n": n, "theta": THETA, "alpha": ALPHA_J, "e0": e0,
+           "sector": "k=0 translation", "n_orbits": int(n_reps),
+           "seconds": round(time.time() - t0, 1)}
+    with open(f"{REPO}/logs/precision_anchor_ed_N{n}.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    return e0
+
+
 def run_train(n: int, seed: int = 11) -> float:
     """On-chip mixed-precision LITFI training (f32 sampling, f64
     estimators/solve - the production config the N=64 north star uses) and
@@ -140,7 +238,7 @@ def run_train(n: int, seed: int = 11) -> float:
 
 def report() -> None:
     rows = []
-    for n in (20, 24):
+    for n in (20, 24, 28, 30):
         try:
             ed = json.load(open(f"{REPO}/logs/precision_anchor_ed_N{n}.json"))
             vmc = json.load(open(f"{REPO}/logs/precision_anchor_vmc_N{n}.json"))
@@ -161,6 +259,8 @@ if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "report"
     if stage == "ed":
         run_ed(int(sys.argv[2]))
+    elif stage == "ed_sector":
+        run_ed_sector(int(sys.argv[2]))
     elif stage == "train":
         run_train(int(sys.argv[2]), seed=int(sys.argv[3]) if len(sys.argv) > 3 else 11)
     else:

@@ -11,6 +11,9 @@ hyperparameter sweeps and file-naming schemes
 
 from __future__ import annotations
 
+import logging
+import sys
+
 import numpy as np
 
 from neural_network_quantum_state_tpu.hamiltonians import (
@@ -34,6 +37,21 @@ _ANSATZ_LABEL = {
 }
 
 _ALPHA_ANSATZE = {"rbmtrsymm", "rbmsfsymm", "rbmz2prsymm", "ffnntrsymm", "ffnnsfsymm"}
+
+
+def enable_cli_logging() -> None:
+    """Surface package log messages (e.g. the VMC large-V solve_dtype
+    resolution note) on driver stdout with the banner's "# " prefix.
+
+    Scoped to the package logger - NOT logging.basicConfig - so jax's own
+    loggers keep their stderr handlers and never pollute driver stdout
+    (campaign scripts parse it with `tail -1`)."""
+    log = logging.getLogger("neural_network_quantum_state_tpu")
+    if not log.handlers:
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(logging.Formatter("# %(message)s"))
+        log.addHandler(handler)
+        log.setLevel(logging.INFO)
 
 
 def remove_zeros(val: float) -> str:

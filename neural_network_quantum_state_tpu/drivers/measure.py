@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neural_network_quantum_state_tpu.drivers.common import build_machine
+from neural_network_quantum_state_tpu.drivers.common import build_machine, enable_cli_logging
 from neural_network_quantum_state_tpu.measurements import (
     AmplitudeSampler,
     fidelity,
@@ -115,6 +115,7 @@ DEFAULTS = {
 
 
 def main(argv=None):
+    enable_cli_logging()
     args = DriverArgs(argv if argv is not None else sys.argv[1:], OPTIONS, DEFAULTS, prog="measure")
     print(args.banner())
     what = args.find("what").lower()

@@ -16,6 +16,7 @@ return to the host each step.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import time
 from functools import partial
@@ -39,6 +40,8 @@ from neural_network_quantum_state_tpu.optim.sr import (
 )
 from neural_network_quantum_state_tpu.parallel import mesh as meshlib
 from neural_network_quantum_state_tpu.sampler import metropolis
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,21 +193,22 @@ class VMC:
         ):
             if jax.config.jax_enable_x64:
                 config = dataclasses.replace(config, solve_dtype=jnp.float64)
-                print(
-                    f"# V={machine.n_vars} >= 500 with an f32 {config.solver} solve: "
-                    "defaulting solve_dtype=float64 (mixed-precision SR; pass "
-                    "solve_dtype=jnp.float32 to opt out)"
+                logger.info(
+                    "V=%d >= 500 with an f32 %s solve: defaulting "
+                    "solve_dtype=float64 (mixed-precision SR; pass "
+                    "solve_dtype=jnp.float32 to opt out)",
+                    machine.n_vars,
+                    config.solver,
                 )
             else:
-                import warnings
-
-                warnings.warn(
-                    f"V={machine.n_vars} >= 500 with a pure-f32 {config.solver} SR solve: "
-                    "this configuration measurably degrades (CG stagnation, possible NaN "
-                    "updates - RESULTS.md 5b). Enable jax_enable_x64 and set "
+                logger.warning(
+                    "V=%d >= 500 with a pure-f32 %s SR solve: this configuration "
+                    "measurably degrades (CG stagnation, possible NaN updates - "
+                    "RESULTS.md 5b). Enable jax_enable_x64 and set "
                     "solve_dtype=jnp.float64 (drivers: -solvedtype=float64), or pass "
                     "solve_dtype=jnp.float32 explicitly to silence this.",
-                    stacklevel=2,
+                    machine.n_vars,
+                    config.solver,
                 )
         self.config = config
         if getattr(hamiltonian, "sampler_kind", "flip") == "exchange":

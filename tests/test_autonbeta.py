@@ -12,6 +12,7 @@ use it.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neural_network_quantum_state_tpu as nqs
 from neural_network_quantum_state_tpu.models import RBM
@@ -157,33 +158,50 @@ def test_measure_driver_nbeta_auto(tmp_path):
     assert 0.0 <= m1 <= 1.0 and 0.0 <= m2 <= 1.0 and 0.0 <= m4 <= 1.0
 
 
-def test_measure_driver_nbeta_auto_fermion_exchange_probe(tmp_path, capsys):
-    """-nbeta=auto with an exchange-sampled mode (-what=density on Hubbard):
-    since round 4 this is SUPPORTED - the ladder is probed with the
-    sector-preserving tempered-exchange dynamics (kawasaki.
-    tune_n_beta_exchange), not the spin-flip probe, which would leave the
-    particle-number sector. Assert the probe runs, reports its choice, and
-    the tempered density estimate conserves the sector exactly."""
-    from neural_network_quantum_state_tpu.drivers import measure, train
+@pytest.fixture(scope="module")
+def hubbard_checkpoint(tmp_path_factory):
+    """One tiny trained Hubbard state shared by the three exchange-sampled
+    -nbeta=auto measurement modes below."""
+    from neural_network_quantum_state_tpu.drivers import train
 
+    path = tmp_path_factory.mktemp("autonbeta_hubbard")
     res = train.main(
         [
             "-model=hubbard", "-ansatz=rbm", "-L=3", "-nf=8", "-ns=64",
             "-niter=10", "-nwarm=30", "-U=4", "-npar=1,1", "-dtype=float64",
-            f"-path={tmp_path}",
+            f"-path={path}",
         ]
     )
-    prefix = res[0]["prefix"]
+    return res[0]["prefix"]
+
+
+@pytest.mark.parametrize("what", ["density", "opdm", "energy"])
+def test_measure_driver_nbeta_auto_fermion_exchange_probe(hubbard_checkpoint, capsys, what):
+    """-nbeta=auto with every exchange-sampled fermion mode (-what=density /
+    opdm / hubbard energy): since round 4 this is SUPPORTED - the ladder is
+    probed with the sector-preserving tempered-exchange dynamics
+    (kawasaki.tune_n_beta_exchange), not the spin-flip probe, which would
+    leave the particle-number sector. Assert the probe runs and reports
+    its choice in each mode (round-4 advisor item: the earlier test only
+    covered -what=density), plus a mode-appropriate sanity check."""
+    from neural_network_quantum_state_tpu.drivers import measure
+
     # the measure driver takes -L as the JW site count (2x physical L)
-    occ = measure.main(
-        [
-            "-what=density", "-npar=1,1", "-ansatz=rbm", "-L=6", "-nf=8",
-            "-ns=64", f"-prefix={prefix}", "-niter=4", "-nms=1", "-nwarm=10",
-            "-dtype=float64", "-nbeta=auto",
-        ]
-    )
+    common = [
+        "-npar=1,1", "-ansatz=rbm", "-L=6", "-nf=8", "-ns=64",
+        f"-prefix={hubbard_checkpoint}", "-niter=4", "-nms=1", "-nwarm=10",
+        "-dtype=float64", "-nbeta=auto",
+    ]
+    if what == "density":
+        occ = measure.main(["-what=density"] + common)
+        assert np.isfinite(occ).all()
+        # exchange dynamics never leave the (1 up, 1 down) sector
+        assert abs(float(occ.sum()) - 2.0) < 1e-9
+    elif what == "opdm":
+        row = measure.main(["-what=opdm", "-site=0"] + common)
+        assert np.isfinite(np.asarray(row)).all()
+    else:
+        e, err = measure.main(["-what=energy", "-model=hubbard", "-U=4", "-t=1"] + common)
+        assert np.isfinite(e.real) and np.isfinite(err)
     out = capsys.readouterr().out
     assert "# nbeta=auto -> n_beta=" in out
-    assert np.isfinite(occ).all()
-    # exchange dynamics never leave the (1 up, 1 down) sector
-    assert abs(float(occ.sum()) - 2.0) < 1e-9

@@ -198,7 +198,8 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
     """binder_fss_final.vmc_corrratio_points: parses the
     corrratio_measure.sh log format (driver banner noise included) and
     finds the R(32) x R(64) crossing of synthetic curves that cross at
-    theta = 0.9; missing sizes and short grids are skipped silently."""
+    theta = 0.9; a single-theta N=96 log cannot yield a crossing but DOES
+    feed the size-ordering bracket path (returned alongside the points)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import scripts.binder_fss_final as fss
 
@@ -221,7 +222,8 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
     # lines cross where 0.5 - 2 dt = 0.52 - 4 dt -> dt = 0.01, tc = 0.91
     write_log(32, -2.0, 0.5)
     write_log(64, -4.0, 0.52)
-    # N=96 log exists but has a single theta -> must be ignored
+    # N=96 log exists but has a single theta -> no crossing, only a
+    # (64,96) size-ordering bracket
     (tmp_path / "corrratio_N96.log").write_text(
         "=== theta=0.9 ===\n# corrratio R=0.5 R_err=0.002 S_peak=1 S_neighbor=0.5\n"
     )
@@ -231,12 +233,13 @@ def test_vmc_corrratio_crossings(tmp_path, monkeypatch):
     assert set(d) == {0.85, 0.875, 0.9, 0.925, 0.95}
     assert d[0.85] == (pytest.approx(0.6), pytest.approx(0.002))
 
-    pts = fss.vmc_corrratio_points(verbose=False)
+    pts, brackets = fss.vmc_corrratio_points(verbose=False)
     assert len(pts) == 1
     ns, nb, tc, terr, src = pts[0]
     assert (ns, nb, src) == (32, 64, "VMC-R")
     assert tc == pytest.approx(0.91, abs=1e-6)
     assert 0 < terr < 0.01
+    assert any(b[0] == 64 and b[1] == 96 for b in brackets)
 
 
 def test_drift_fit2_recovers_two_corrections():
