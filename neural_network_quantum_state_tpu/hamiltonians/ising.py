@@ -36,6 +36,40 @@ from neural_network_quantum_state_tpu.sampler import schedule as sched
 _OFFDIAG_CHUNK_ELEMS = 64 * 1024 * 1024  # cap K*chunk*H per flip tensor
 
 
+def _offdiag_sum_compensated(work: Work, cache: Cache, n_sites: int) -> C:
+    """Compensated-f32 sum_i exp(lnpsi(flip_i s) - lnpsi(s)) in f64.
+
+    f32 transcendentals + per-hidden difference-first accumulation
+    (engine.all_flip_delta_log_psi) + f64 exp/sum on the (K, n) ratios -
+    ~f64-quality local energy without f64-emulated transcendentals in the
+    O(K n H) inner loop (round-4 verdict item 6; requires x64).
+    """
+    k = cache.spins.shape[0]
+    h = work.w.re.shape[1]
+    f64 = jnp.float64
+    chunk = max(1, min(n_sites, _OFFDIAG_CHUNK_ELEMS // max(1, k * h)))
+    if chunk >= n_sites:
+        d = engine.all_flip_delta_log_psi(
+            work, cache, jnp.arange(n_sites, dtype=jnp.int32), accum_dtype=f64
+        )
+        return cplx.csum(cplx.cexp(d), axis=-1)
+    n_chunks = -(-n_sites // chunk)
+    padded = n_chunks * chunk
+    sites = jnp.arange(padded, dtype=jnp.int32)
+    valid = (sites < n_sites).reshape(n_chunks, chunk)
+    site_blocks = jnp.minimum(sites, n_sites - 1).reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        block, mask = xs
+        d = engine.all_flip_delta_log_psi(work, cache, block, accum_dtype=f64)
+        e = cplx.cexp(d)
+        m = mask[None, :].astype(f64)
+        return carry + C(jnp.sum(e.re * m, axis=-1), jnp.sum(e.im * m, axis=-1)), None
+
+    total, _ = jax.lax.scan(body, cplx.zeros(k, f64), (site_blocks, valid))
+    return total
+
+
 def _offdiag_sum(work: Work, cache: Cache, lnpsi: C, n_sites: int, fused: bool | None = None) -> C:
     """sum_i exp(lnpsi(flip_i s) - lnpsi(s)) - the N-forward term.
 
@@ -118,7 +152,14 @@ class _NeighborTFI(Hamiltonian):
         bond = jnp.einsum("kn,knm->k", s, neigh * jmat[None, :, :])
         return 0.5 * bond
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None) -> C:
+    def local_energy(
+        self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None,
+        compensated: bool = False,
+    ) -> C:
+        if compensated:
+            offdiag = _offdiag_sum_compensated(work, cache, self.n_sites)
+            diag = self.diag_energy(cache.spins.astype(jnp.float64))
+            return C(diag + self.h * offdiag.re, self.h * offdiag.im)
         offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites, fused=fused)
         diag = self.diag_energy(cache.spins)
         return C(diag + self.h * offdiag.re, self.h * offdiag.im)
@@ -193,11 +234,18 @@ class LITFIChain(Hamiltonian):
     def schedule(self) -> np.ndarray:
         return sched.chain_checkerboard(self.n_sites)
 
-    def local_energy(self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None) -> C:
+    def local_energy(
+        self, work: Work, cache: Cache, lnpsi: C, fused: bool | None = None,
+        compensated: bool = False,
+    ) -> C:
         s = cache.spins
+        if compensated:
+            s = s.astype(jnp.float64)
+            offdiag = _offdiag_sum_compensated(work, cache, self.n_sites)
+        else:
+            offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites, fused=fused)
         sj = s @ jnp.asarray(self.j_matrix, s.dtype)  # (K, L) dense long-range GEMM
         diag = 0.5 * jnp.sum(sj * s, axis=-1)
-        offdiag = _offdiag_sum(work, cache, lnpsi, self.n_sites, fused=fused)
         inv_l = 1.0 / self.n_sites
         return C((diag + self.h * offdiag.re) * inv_l, self.h * offdiag.im * inv_l)
 

@@ -24,6 +24,7 @@ real @ split-complex contraction (2 real MXU matmuls).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -202,6 +203,83 @@ def all_flip2_log_psi(work: Work, cache: Cache, sites_a: jnp.ndarray, sites_b: j
             -ta * aa.im[None, :] - tb * ab.im[None, :],
         )
     return lnpsi
+
+
+def all_flip_delta_log_psi(work: Work, cache: Cache, sites: jnp.ndarray, accum_dtype=None) -> C:
+    """ln psi(flip_i s) - ln psi(s) for every site in `sites`: (K, n).
+
+    The COMPENSATED form of the flip ratio (round-4 verdict item 6): instead
+    of materializing both O(|lnpsi|) ~ O(N) totals and subtracting (a
+    catastrophic f32 cancellation - eps * |lnpsi| lands at ~1e-5 absolute
+    per term at N=64), the per-hidden-unit differences
+    lncosh(y') - lncosh(y) are formed FIRST (each O(|2 s w|), exact to
+    f32 eps of a small number) and only then summed - in `accum_dtype`
+    (f64) when given. The transcendentals stay f32 (TPU-native); the f64
+    work is adds only, so cost is ~2x the plain path's sum stage, nowhere
+    near the ~70x of f64-emulated transcendentals. The sa term cancels
+    identically and never appears.
+    """
+    adt = cache.y.re.dtype if accum_dtype is None else jnp.dtype(accum_dtype)
+    # transcendentals always evaluate in f32 (TPU-native); when the cache is
+    # f64 (widened forward) the linear algebra below stays exact in f64 and
+    # ONLY the O(1)-bounded log/atan2 parts round through f32
+    rdt = jnp.dtype(jnp.float32)
+    two_s = 2.0 * cache.spins[:, sites]  # (K, n) real
+    wr = work.w.re[sites, :][None, :, :]
+    wi = work.w.im[sites, :][None, :, :]
+    t_re = two_s[:, :, None] * wr  # rounding ~ eps * |2w| (small numbers)
+    t_im = two_s[:, :, None] * wi
+    x0 = cache.y.re[:, None, :].astype(adt)
+    v0 = cache.y.im[:, None, :].astype(adt)
+    # exact in adt=f64: difference of two f32 values carries no new rounding
+    x1 = x0 - t_re.astype(adt)
+    v1 = v0 - t_im.astype(adt)
+    # |x1| - |x0| exactly in adt - this is the O(|y|) part of
+    # lncosh_re = 0.5 log(1 + e^2 + 2 e cos 2y) + |x| - ln2, whose f32
+    # REPRESENTATION error (eps * |y| per hidden unit) is what dominates
+    # the plain path; it must never be rounded through rdt
+    dabs = jnp.abs(x1) - jnp.abs(x0)
+    # fold angles into (-pi, pi] in the accumulation dtype BEFORE the f32
+    # trig: otherwise the f32 rounding of a large y_im costs eps * |y_im|
+    # through cos/sin - the same term the plain path pays. cos/sin are
+    # 2pi-periodic and atan2 already returns the principal value, so the
+    # fold changes nothing mathematically.
+    two_pi = 2.0 * math.pi
+    v0_f = v0 - two_pi * jnp.round(v0 * (1.0 / two_pi))
+    v1_f = v1 - two_pi * jnp.round(v1 * (1.0 / two_pi))
+    x0_r, x1_r = x0.astype(rdt), x1.astype(rdt)
+    v0_r, v1_r = v0_f.astype(rdt), v1_f.astype(rdt)
+
+    def _bounded_parts(x, v):
+        """(log-magnitude residual, phase) of ln cosh - both O(1)-bounded,
+        so rdt evaluation carries only ~eps ABSOLUTE error."""
+        absx = jnp.abs(x)
+        sgn = jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+        e = jnp.exp(-2.0 * absx)
+        pre = (1.0 + e) * jnp.cos(v)
+        pim = (1.0 - e) * jnp.sin(v) * sgn
+        lr = 0.5 * jnp.log(pre * pre + pim * pim)
+        li = jnp.arctan2(pim, pre)
+        return lr, li
+
+    lr1, li1 = _bounded_parts(x1_r, v1_r)
+    lr0, li0 = _bounded_parts(x0_r, v0_r)
+    dly = C(
+        (lr1.astype(adt) - lr0.astype(adt)) + dabs,
+        li1.astype(adt) - li0.astype(adt),
+    )
+    if work.c is None:
+        d = cplx.csum(dly, axis=-1)
+    else:
+        c = C(work.c.re[None, None, :].astype(adt), work.c.im[None, None, :].astype(adt))
+        d = cplx.csum(cplx.cmul(dly, c), axis=-1)
+    if work.a is not None:
+        asel = work.a[sites]
+        d = d + C(
+            -two_s.astype(adt) * asel.re[None, :].astype(adt),
+            -two_s.astype(adt) * asel.im[None, :].astype(adt),
+        )
+    return d
 
 
 def all_flip_log_psi(work: Work, cache: Cache, sites: jnp.ndarray) -> C:

@@ -94,8 +94,14 @@ class VMCConfig:
     #   tensor in f64). Exact given the f32 params, but f64 transcendentals
     #   are emulated on TPU (~70x the f32 energy at N=64) - use as the
     #   high-precision anchor mode.
+    # energy_dtype="compensated": f32 transcendentals with difference-first
+    #   per-hidden accumulation of lnpsi(flip) - lnpsi in f64 (engine.
+    #   all_flip_delta_log_psi) - ~f64-quality LOCAL ENERGY at ~2x the f32
+    #   cost (the f64 work is adds + a (K,N) exp), A/B'd in
+    #   scripts/bench_compensated_ab.py. O_k stays f32 (cast to
+    #   solve_dtype); ising-family Hamiltonians, single-device path.
     #
-    # Both require jax_enable_x64. dx is cast back to the machine dtype.
+    # All require jax_enable_x64. dx is cast back to the machine dtype.
     solve_dtype: Optional[Any] = None
     energy_dtype: Optional[Any] = None
     # Collapse auto-remediation (active recovery beyond the reference's
@@ -175,11 +181,29 @@ class VMC:
         if config.n_accumulations > 1:
             if config.solver not in ("lu", "cholesky", "svd"):
                 raise ValueError("n_accumulations > 1 requires a dense solver (reference parity)")
-        for knob in (config.solve_dtype, config.energy_dtype):
-            if knob is not None and jnp.dtype(knob) == jnp.float64 and not jax.config.jax_enable_x64:
+        if config.energy_dtype == "compensated":
+            if mesh is not None:
                 raise ValueError(
-                    "solve_dtype/energy_dtype=float64 requires jax_enable_x64 "
-                    "(jax.config.update('jax_enable_x64', True) before building the VMC)"
+                    "energy_dtype='compensated' is a single-device anchor mode "
+                    "(use energy_dtype=float64 under a mesh)"
+                )
+            if not hasattr(hamiltonian, "local_energy") or "compensated" not in (
+                hamiltonian.local_energy.__code__.co_varnames
+            ):
+                raise ValueError(
+                    "energy_dtype='compensated' requires a Hamiltonian with a "
+                    "compensated local_energy (ising family)"
+                )
+        for knob in (config.solve_dtype, config.energy_dtype):
+            if knob is None or knob == "compensated":
+                needs_x64 = knob == "compensated"
+            else:
+                needs_x64 = jnp.dtype(knob) == jnp.float64
+            if needs_x64 and not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "solve_dtype/energy_dtype=float64 (or 'compensated') requires "
+                    "jax_enable_x64 (jax.config.update('jax_enable_x64', True) "
+                    "before building the VMC)"
                 )
         # Large-V auto-default (wants_large_v_mixed_precision above; the
         # f32-auto N=128 run died on this cliff). The fix is cheap (O(KV)
@@ -347,7 +371,11 @@ class VMC:
         machine, ham, cfg = self.machine, self.hamiltonian, self.config
         mesh = self.mesh
         rdt = jnp.dtype(machine.real_dtype)
-        edt = rdt if cfg.energy_dtype is None else jnp.dtype(cfg.energy_dtype)
+        compensated = cfg.energy_dtype == "compensated"
+        if compensated:
+            edt = jnp.dtype(jnp.float64)  # htilda lands in f64 (stats/solve dtype)
+        else:
+            edt = rdt if cfg.energy_dtype is None else jnp.dtype(cfg.energy_dtype)
         sdt = edt if cfg.solve_dtype is None else jnp.dtype(cfg.solve_dtype)
         sdt = max(sdt, edt, key=lambda d: jnp.finfo(d).bits)  # solve never narrower
 
@@ -355,6 +383,20 @@ class VMC:
             """(htilda, o_mat) for one sampling round: local energy and O_k
             in cfg.energy_dtype, then cast to cfg.solve_dtype for the S/F
             reductions and the solve."""
+            if compensated:
+                # widened f64 forward (2 MXU GEMMs + O(KH) f64 scalars -
+                # cheap; it is the O(NKH) flip-tensor transcendentals that
+                # cost ~70x in full f64), then the difference-first local
+                # energy: exact f64 linear algebra, f32 transcendentals
+                params64 = jax.tree_util.tree_map(lambda x: x.astype(edt), params)
+                work = machine.make_work(params64)
+                with jax.named_scope("widen_forward"):
+                    cache, lnpsi = engine.full_forward(work, cache.spins.astype(edt))
+                with jax.named_scope("local_energy"):
+                    htilda = ham.local_energy(work, cache, lnpsi, compensated=True)
+                with jax.named_scope("grad_log"):
+                    o_mat = meshlib.constrain_o_mat(machine.grad_log(params64, cache), mesh)
+                return htilda.astype(sdt), o_mat.astype(sdt)
             if edt == rdt:
                 work = machine.make_work(params)
             else:
