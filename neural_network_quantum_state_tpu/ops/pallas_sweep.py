@@ -113,19 +113,22 @@ def _sweep_kernel(
     yim_ref,  # (BK, H) in
     sare_ref,
     saim_ref,  # (BK, 1) in
-    ospins_ref,
-    oyre_ref,
-    oyim_ref,
-    osare_ref,
-    osaim_ref,
-    olnre_ref,  # outs (aliased shapes)
-    oacc_ref,  # (n_blocks, 1) accept counts
-    *,
+    *rest_refs,  # [c4, s4 when recur_cos] + outs + [cy, sy scratch when recur_cos]
     hash_prng: bool = False,
     has_c: bool = False,
     n_sweeps: int = 1,
     n_beta: int = 1,
+    recur_cos: bool = False,
 ):
+    if recur_cos:
+        # c4/s4: per-(site, hidden) rotation constants cos/sin(4 w_im);
+        # cy/sy: running cos/sin(2 y_im) VMEM scratch (refreshed per sweep)
+        c4_ref, s4_ref = rest_refs[0], rest_refs[1]
+        (ospins_ref, oyre_ref, oyim_ref, osare_ref, osaim_ref, olnre_ref,
+         oacc_ref, cy_ref, sy_ref) = rest_refs[2:]
+    else:
+        (ospins_ref, oyre_ref, oyim_ref, osare_ref, osaim_ref, olnre_ref,
+         oacc_ref) = rest_refs
     n_sites = sched_ref.shape[0]
     # bring state into the output refs; all updates happen in-place there
     ospins_ref[:] = spins_ref[:]
@@ -177,13 +180,32 @@ def _sweep_kernel(
         wr = wre_ref[pl.ds(site, 1), :]  # (1, H)
         wi = wim_ref[pl.ds(site, 1), :]
         y1re = oyre_ref[:] - two_s * wr
-        y1im = oyim_ref[:] - two_s * wi
-        if has_c:
+        if recur_cos:
+            # candidate cos(2 y'_im) by angle addition against the running
+            # cos/sin(2 y_im): cos(2y - 4 s w) = cy*cos(4w) + s*sy*sin(4w)
+            # (s = +-1) - 4 FMAs replace the 12-op fast_cos polynomial of
+            # _logcosh_re per (walker, hidden) element. mag2 is clamped:
+            # rotation drift (refreshed each sweep) can push it epsilon
+            # below 0 where the exact value is 0 (y_re ~ 0, cos2y ~ -1).
+            sgn = 0.5 * two_s  # (BK, 1)
+            c4 = c4_ref[pl.ds(site, 1), :]  # (1, H)
+            s4 = s4_ref[pl.ds(site, 1), :]
+            cy = cy_ref[:]
+            sy = sy_ref[:]
+            cos2y1 = cy * c4 + (sgn * sy) * s4
+            absx = jnp.abs(y1re)
+            e = jnp.exp(-2.0 * absx)
+            mag2 = jnp.maximum(1.0 + e * e + 2.0 * e * cos2y1, 1e-37)
+            lyre = 0.5 * jnp.log(mag2) + (absx - _LN2)
+            ln1re = jnp.sum(cre * lyre, axis=1, keepdims=True)
+        elif has_c:
             # complex output weights (FFNN family): Re(c * lncosh) needs
             # both planes of lncosh
+            y1im = oyim_ref[:] - two_s * wi
             lyre, lyim = _logcosh_both(y1re, y1im)
             ln1re = jnp.sum(cre * lyre - cim * lyim, axis=1, keepdims=True)
         else:
+            y1im = oyim_ref[:] - two_s * wi
             lyre = _logcosh_re(y1re, y1im)
             ln1re = jnp.sum(cre * lyre, axis=1, keepdims=True)
         ar = are_ref[pl.ds(site, 1), :]  # (1, 1)
@@ -199,6 +221,12 @@ def _sweep_kernel(
         two_s_m = two_s * mask
         oyre_ref[:] = oyre_ref[:] - two_s_m * wr
         oyim_ref[:] = oyim_ref[:] - two_s_m * wi
+        if recur_cos:
+            # masked rotation of the running cos/sin(2 y_im) to the
+            # accepted candidate (sin by the matching angle addition)
+            sin2y1 = sy * c4 - (sgn * cy) * s4
+            cy_ref[:] = cy + mask * (cos2y1 - cy)
+            sy_ref[:] = sy + mask * (sin2y1 - sy)
         ai = aim_ref[pl.ds(site, 1), :]
         osare_ref[:] = osare_ref[:] - two_s_m * ar
         osaim_ref[:] = osaim_ref[:] - two_s_m * ai
@@ -207,8 +235,25 @@ def _sweep_kernel(
         ospins_ref[pl.ds(site, 1), :] = srow * (1.0 - 2.0 * mask_row)
         return acc + jnp.sum(mask)
 
+    def refresh_cy_sy():
+        # re-derive the running rotation state from the committed y_im -
+        # bounds drift to one sweep's worth of masked FMA roundoff; costs
+        # one fast_cos + fast_sin per sweep (amortized over n_sites
+        # proposals). Also what makes the PT swap phases below correct
+        # without exchanging cy/sy: each sweep starts from fresh values.
+        cy_ref[:] = fast_cos(2.0 * oyim_ref[:])
+        sy_ref[:] = fast_sin(2.0 * oyim_ref[:])
+
     if n_beta <= 1:
-        acc = jax.lax.fori_loop(0, n_sweeps * n_sites, body, jnp.float32(0.0))
+        if recur_cos:
+
+            def sweep_only_body(s, acc):
+                refresh_cy_sy()
+                return jax.lax.fori_loop(s * n_sites, (s + 1) * n_sites, body, acc)
+
+            acc = jax.lax.fori_loop(0, n_sweeps, sweep_only_body, jnp.float32(0.0))
+        else:
+            acc = jax.lax.fori_loop(0, n_sweeps * n_sites, body, jnp.float32(0.0))
     else:
         # replica-exchange: after each sweep, even then odd adjacent-pair
         # swaps (impl_mcmc_sampler.hpp:157-188). Replica-minor layout: the
@@ -256,6 +301,8 @@ def _sweep_kernel(
             )
 
         def sweep_body(s, acc):
+            if recur_cos:
+                refresh_cy_sy()
             acc = jax.lax.fori_loop(s * n_sites, (s + 1) * n_sites, body, acc)
             swap_phase(s, 0)
             swap_phase(s, 1)
@@ -266,7 +313,9 @@ def _sweep_kernel(
     oacc_ref[pl.program_id(0), 0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "block_k", "interpret", "n_beta"))
+@functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "block_k", "interpret", "n_beta", "recur_cos")
+)
 def pallas_sweeps(
     work: Work,
     cache: Cache,
@@ -277,6 +326,7 @@ def pallas_sweeps(
     block_k: int | None = None,
     interpret: bool = False,
     n_beta: int = 1,
+    recur_cos: bool = False,
 ):
     """Run n_sweeps fused sweeps; returns (cache, lnpsi, n_accepted).
 
@@ -292,6 +342,13 @@ def pallas_sweeps(
     after every sweep (reference impl_mcmc_sampler.hpp:93-221, CPU-only
     there). Walkers must be replica-minor (sampler.tempering layout);
     swaps are +-1 rolls along the walker axis and never leave the block.
+
+    recur_cos (RBM family only): A/B variant that tracks running
+    cos/sin(2 y_im) in VMEM scratch and rotates them by per-site constants
+    cos/sin(4 w_im) instead of evaluating the fast_cos polynomial per
+    proposal (round-4 verdict item 2: one measured optimization attempt
+    against the VPU roofline). Statistically identical sampler; bitwise
+    different accept chain (see scripts/bench_sweep_recurcos_ab.py).
     """
     k, n = cache.spins.shape
     h = work.w.re.shape[1]
@@ -301,20 +358,26 @@ def pallas_sweeps(
     # i64, which Mosaic cannot legalize ('failed to legalize func.func' with
     # i64 returns, observed on v5e); every value here is explicitly
     # f32/int32, so trace this whole call with x64 off.
+    assert not (recur_cos and has_c), "recur_cos targets the RBM magnitude path"
     with jax.enable_x64(False):
         return _pallas_sweeps_body(
-            work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c, n_beta
+            work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c,
+            n_beta, recur_cos,
         )
 
 
-def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c, n_beta=1):
+def _pallas_sweeps_body(
+    work, cache, lnpsi, schedule, seed, n_sweeps, block_k, interpret, k, n, h, has_c,
+    n_beta=1, recur_cos=False,
+):
     if block_k is None:
         # adaptive: keep each (BK, H) VMEM temporary around 1 MB so the
         # kernel's ~8 live (BK, H) arrays fit the 16 MB VMEM budget at any H.
         # With tempering, blocks must also hold whole replica groups
         # (non-power-of-two n_beta like 3 or 6 disqualifies the power-of-two
         # candidates; fall back to multiples of n_beta, then to k itself).
-        bk_cap = max(128, (256 * 1024) // max(1, h))
+        # recur_cos adds two (BK, H) scratch planes -> shrink the cap.
+        bk_cap = max(128, ((192 if recur_cos else 256) * 1024) // max(1, h))
         cands = [1024, 512, 256, 128]
         if n_beta > 1:
             cands = [b for b in cands if b % n_beta == 0]
@@ -353,23 +416,26 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
     spins_spec = pl.BlockSpec((n, block_k), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
     fixed_spec = lambda rows, cols: pl.BlockSpec((rows, cols), lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        fixed_spec(n, h),  # wre
+        fixed_spec(n, h),  # wim
+        fixed_spec(n, 1),  # are
+        fixed_spec(n, 1),  # aim
+        fixed_spec(1, h),  # cre
+        fixed_spec(1, h),  # cim
+        state_spec(1),  # beta (replica-minor, blocked like the state)
+        spins_spec,  # spins (N, BK), lane-blocked
+        state_spec(h),  # yre
+        state_spec(h),  # yim
+        state_spec(1),  # sare
+        state_spec(1),  # saim
+    ]
+    if recur_cos:
+        in_specs += [fixed_spec(n, h), fixed_spec(n, h)]  # cos/sin(4 w_im)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[
-            fixed_spec(n, h),  # wre
-            fixed_spec(n, h),  # wim
-            fixed_spec(n, 1),  # are
-            fixed_spec(n, 1),  # aim
-            fixed_spec(1, h),  # cre
-            fixed_spec(1, h),  # cim
-            state_spec(1),  # beta (replica-minor, blocked like the state)
-            spins_spec,  # spins (N, BK), lane-blocked
-            state_spec(h),  # yre
-            state_spec(h),  # yim
-            state_spec(1),  # sare
-            state_spec(1),  # saim
-        ],
+        in_specs=in_specs,
         out_specs=[
             spins_spec,
             state_spec(h),
@@ -379,6 +445,11 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
             state_spec(1),
             pl.BlockSpec((n_blocks, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((block_k, h), jnp.float32), pltpu.VMEM((block_k, h), jnp.float32)]
+            if recur_cos
+            else []
+        ),
     )
 
     out_shape = [
@@ -391,17 +462,7 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
         jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),  # acc
     ]
 
-    outs = pl.pallas_call(
-        # interpret mode swaps the HW PRNG for a counter-hash PRNG so the
-        # interpreted kernel is statistically faithful (chi^2-testable)
-        functools.partial(
-            _sweep_kernel, hash_prng=interpret, has_c=has_c, n_sweeps=n_sweeps, n_beta=n_beta
-        ),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        # TPU-emulating interpreter (needed for pltpu.prng_* off-TPU)
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(
+    operands = [
         full_sched,
         block_seeds,
         work.w.re,
@@ -416,7 +477,22 @@ def _pallas_sweeps_body(work, cache, lnpsi, schedule, seed, n_sweeps, block_k, i
         cache.y.im,
         cache.sa.re.reshape(k, 1),
         cache.sa.im.reshape(k, 1),
-    )
+    ]
+    if recur_cos:
+        # full-precision XLA cos/sin outside the kernel (once per call)
+        operands += [jnp.cos(4.0 * work.w.im), jnp.sin(4.0 * work.w.im)]
+    outs = pl.pallas_call(
+        # interpret mode swaps the HW PRNG for a counter-hash PRNG so the
+        # interpreted kernel is statistically faithful (chi^2-testable)
+        functools.partial(
+            _sweep_kernel, hash_prng=interpret, has_c=has_c, n_sweeps=n_sweeps,
+            n_beta=n_beta, recur_cos=recur_cos,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # TPU-emulating interpreter (needed for pltpu.prng_* off-TPU)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*operands)
     spins_t, yre, yim, sare, saim, _lnre, acc = outs
     new_cache = Cache(spins=spins_t.T, y=C(yre, yim), sa=C(sare[:, 0], saim[:, 0]))
     # Full ln psi recomputed from the final cache with the XLA logcosh (one

@@ -240,6 +240,10 @@ def tempered_exchange_sweeps(
     (cache, lnpsi) pytrees and are move-class agnostic."""
     from neural_network_quantum_state_tpu.sampler.tempering import _swap_phase, replica_betas
 
+    if n_sweeps <= 0:
+        # static no-op (opdm_pair warm-starts sites m > 0 with n_warmup=0;
+        # jnp.stack over zero per-sweep subkeys would throw)
+        return state
     k_tot = state.lnpsi.re.shape[0]
     assert k_tot % n_beta == 0
     kb = k_tot // n_beta

@@ -174,3 +174,37 @@ def test_fused_tempered_beta1_samples_psi2():
     tv = 0.5 * float(np.abs(counts / total - p).sum())
     assert chi2 / (2**n - 1) < 3.0, (chi2, tv)
     assert tv < 0.03, tv
+
+
+def test_recur_cos_variant_matches_standard_kernel():
+    """The recurrent-rotation sweep variant (recur_cos=True: running
+    cos/sin(2 y_im) rotated by per-site cos/sin(4 w_im) constants, refreshed
+    every sweep) must be a drop-in statistical twin of the standard kernel.
+    On the shared interpret-mode PRNG stream the accept chains differ only
+    by rotation roundoff (~1e-6 on dln), so the decision sequences - and
+    therefore spins, acceptance counts, and lnpsi - should match outright
+    at small shapes; the cache must stay self-consistent independently.
+    Round-4 verdict item 2: the A/B'd optimization attempt
+    (scripts/bench_sweep_recurcos_ab.py measures it on chip)."""
+    n, k = 16, 256
+    machine = RBMTrSymm(n_inputs=n, alpha=2, dtype=jnp.float32)
+    params = machine.init_params(jax.random.PRNGKey(0))
+    work = machine.make_work(params)
+    spins = random_spins(jax.random.PRNGKey(1), k, n, jnp.float32)
+    cache, lnpsi = engine.full_forward(work, spins)
+    sched = chain_checkerboard(n)
+    for n_beta in (1, 4):
+        c0, l0, a0 = pallas_sweeps(
+            work, cache, lnpsi, sched, jnp.int32(7), 6, block_k=64, interpret=True, n_beta=n_beta
+        )
+        c1, l1, a1 = pallas_sweeps(
+            work, cache, lnpsi, sched, jnp.int32(7), 6, block_k=64, interpret=True,
+            n_beta=n_beta, recur_cos=True,
+        )
+        assert float(a0) == float(a1), (n_beta, float(a0), float(a1))
+        np.testing.assert_array_equal(np.asarray(c0.spins), np.asarray(c1.spins))
+        np.testing.assert_allclose(np.asarray(l0.re), np.asarray(l1.re), atol=1e-4)
+        # cache self-consistency of the variant (full recompute oracle)
+        ref_cache, ref_ln = engine.full_forward(work, c1.spins)
+        np.testing.assert_allclose(np.asarray(c1.y.im), np.asarray(ref_cache.y.im), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(l1.re), np.asarray(ref_ln.re), atol=2e-4)
