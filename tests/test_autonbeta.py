@@ -95,6 +95,7 @@ def test_tune_n_beta_respects_divisibility():
     assert nb == 2 and list(diags) == [2]  # 16 skipped (4*16 does not divide 96)
 
 
+@pytest.mark.slow
 def test_collapse_escalation_with_auto_nbeta():
     """collapse_escalate_nbeta=0: the in-run rescue tunes the ladder from
     measured swap acceptance instead of a fixed replica count (the fixed-4
@@ -135,6 +136,7 @@ def test_train_driver_nbeta_auto(tmp_path):
     assert len(hist) == 10 and all(np.isfinite(h["energy"]) for h in hist)
 
 
+@pytest.mark.slow
 def test_measure_driver_nbeta_auto(tmp_path):
     """-nbeta=auto on the measurement side: probe the trained checkpoint's
     ladder, then run the tempered estimator with the chosen n_beta."""

@@ -206,6 +206,7 @@ def test_measure_driver_on_mesh_matches_single_device(tmp_path):
     assert np.isfinite(s2)
 
 
+@pytest.mark.slow
 def test_train_driver_on_mesh(tmp_path):
     """drivers.train -mesh=8 + -solvedtype=float64: walker-sharded training
     with the mixed-precision solve through the CLI."""
@@ -387,6 +388,7 @@ def test_measure_energy_mode(tmp_path):
     assert abs(e.real - e0) / abs(e0) < 0.02
 
 
+@pytest.mark.slow
 def test_measure_density_profile_trap(tmp_path):
     """-what=density on a trapped Hubbard state: occupations sum to the
     particle number and peak toward the trap center (reference trap study,
@@ -469,6 +471,7 @@ def test_train_structured_resume_on_mesh(tmp_path):
         train.main(bad + ["-niter=10", f"-resume={prefix}", "-mesh=2"])
 
 
+@pytest.mark.slow
 def test_measure_renyi_increment_mode(tmp_path):
     """-what=renyi_inc: increment-trick S2 through the CLI agrees with the
     direct swap estimator on a small trained state."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neural_network_quantum_state_tpu.measurements.fermion import FermionAmplitudeSampler, opdm_pair
 from neural_network_quantum_state_tpu.models import RBM
@@ -48,6 +49,7 @@ def _exact_opdm(machine, params, n, m):
     return np.sum(p * coeff * ratio)
 
 
+@pytest.mark.slow
 def test_opdm_vs_exact():
     machine = RBM(n_inputs=2 * L, n_hiddens=10, dtype=jnp.float64)
     params = machine.init_params(jax.random.PRNGKey(4))
@@ -89,6 +91,7 @@ def test_fermion_sampler_conserves():
     assert np.all(((1 + s[:, L:]) / 2).sum(1) == 2)
 
 
+@pytest.mark.slow
 def test_fermion_sampler_fused_matches_xla():
     """use_fused=True drives the fermion estimator through the Pallas
     exchange kernel (interpret mode off-TPU): density profile and double
@@ -117,6 +120,7 @@ def test_fermion_sampler_fused_matches_xla():
     assert abs(o1.real - o2.real) < 0.05
 
 
+@pytest.mark.slow
 def test_fermion_sampler_fused_on_mesh_matches_single_device():
     """use_fused + mesh: the shard_map'd Pallas exchange kernel (a bare
     pallas_call is opaque to GSPMD and would be all-gathered) advances the

@@ -272,6 +272,7 @@ def test_vmc_2d_multislice_mesh_matches_1d():
     assert all(np.isfinite(v) for v in e3)
 
 
+@pytest.mark.slow
 def test_vmc_tp_param_sharded_mesh_matches_1d():
     """TP (walkers x params) mesh: sampling data-parallelizes over both
     axes; the SR solve reshards o_mat to (K/d_w, V/d_p) tiles so CG

@@ -205,6 +205,7 @@ def test_amplitude_sampler_fused_cpu_and_odd_nbeta():
     assert smp.spins.shape[0] == 128  # beta=1 slice of 384/3
 
 
+@pytest.mark.slow
 def test_binder_pipeline_vs_ed_ground_state():
     """End-to-end Binder-cumulant pipeline against exact diagonalization:
     train a LITFI chain (the paper's model) to its ground state, measure
@@ -475,6 +476,7 @@ def test_swap_base_z2_vs_exact():
         assert abs(got - want) < max(6 * err, 0.05), (l, got, want, err)
 
 
+@pytest.mark.slow
 def test_renyi2_increment_pt_ladder_vs_exact():
     """n_beta > 1 (glued PT ladder): the beta=1 readout still estimates the
     exact S2 - tempered proposals + whole-state swaps must not bias the
