@@ -47,6 +47,7 @@ CAMPAIGN_LOGS = [
     "r4_n128_queue.log",
     "r5_n128_queue.log",
     "r5c_points.log",
+    "r5d_points.log",
 ]
 ED_PAIRS = [(8, 16), (10, 20), (12, 24)]
 # realizable pairs over the trained sizes {32, 64, 96, 128}; (64, 96) and
