@@ -122,7 +122,7 @@ def main() -> None:
                      zorder=3)
     from scripts.binder_fss_final import vmc_corrratio_points
 
-    rv_points = vmc_corrratio_points(verbose=False)
+    rv_points, _rv_brackets = vmc_corrratio_points(verbose=False)
     if rv_points:
         xs = [1.0 / ns for ns, _nb, _tc, _e, _s in rv_points]
         ys = [tc for _ns, _nb, tc, _e, _s in rv_points]
