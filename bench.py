@@ -73,24 +73,59 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def _vpu_chain_rate(chain_fn, n_elems: int = 1 << 22, chain_len: int = 32) -> float:
-    """elements/s of a dependent elementwise chain of chain_fn on the VPU."""
-    x = jnp.linspace(-3.0, 3.0, n_elems, dtype=jnp.float32)
-    y = jnp.linspace(-2.0, 2.0, n_elems, dtype=jnp.float32)
+    """elements/s of a dependent elementwise chain of chain_fn, run as a
+    PALLAS kernel on VMEM-resident blocks.
 
-    @jax.jit
-    def run(x, y):
-        def body(_, xy):
-            return chain_fn(*xy)
+    The roofline must be measured with the same lowering the production
+    kernels use: Mosaic maps exp/log to the VPU's native transcendental
+    path, while plain XLA expands them into longer high-accuracy sequences
+    - an XLA-side chain (either lax.fori_loop, which additionally
+    round-trips HBM every iteration, or a fused unrolled chain) measures
+    4-6x BELOW what the Pallas kernels actually sustain, which made the
+    round-5 pre-check quote kernels at "466% of roofline". Here each grid
+    block loads (BK, 256) once, applies chain_len dependent bodies in
+    VMEM, and writes once - pure Mosaic-lowered VPU compute."""
+    lanes = 256
+    rows = n_elems // lanes
+    block_rows = 512
+    # x64 mode (enabled globally for mixed-precision SR) makes BlockSpec
+    # index maps emit i64, which Mosaic cannot legalize - same gotcha as
+    # pallas_sweeps; trace the whole call with x64 off.
+    with jax.enable_x64(False):
+        return _vpu_chain_rate_f32(chain_fn, n_elems, chain_len, rows, lanes, block_rows)
 
-        return jax.lax.fori_loop(0, chain_len, body, (x, y))
 
+def _vpu_chain_rate_f32(chain_fn, n_elems, chain_len, rows, lanes, block_rows) -> float:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.linspace(-3.0, 3.0, n_elems, dtype=jnp.float32).reshape(rows, lanes)
+    y = jnp.linspace(-2.0, 2.0, n_elems, dtype=jnp.float32).reshape(rows, lanes)
+
+    def kernel(x_ref, y_ref, ox_ref, oy_ref):
+        xv, yv = x_ref[:], y_ref[:]
+        for _ in range(chain_len):
+            xv, yv = chain_fn(xv, yv)
+        ox_ref[:] = xv
+        oy_ref[:] = yv
+
+    spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    run = jax.jit(
+        lambda x, y: pl.pallas_call(
+            kernel,
+            grid=(rows // block_rows,),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 2,
+        )(x, y)
+    )
     out = run(x, y)
-    float(out[0][0])  # force (remote-dispatch skew)
+    float(out[0][0, 0])  # force (remote-dispatch skew)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run(x, y)
-    float(out[0][0])
+    float(out[0][0, 0])
     dt = time.perf_counter() - t0
     return n_elems * chain_len * reps / dt
 
